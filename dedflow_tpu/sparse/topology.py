@@ -1,0 +1,85 @@
+"""Nodal sparsity pattern and element->nnz scatter maps (host side).
+
+Replaces the reference's host hashmap CSR construction (csr.c:81-190, with
+its 64-neighbor cap and binary-search inserts) and the GPU block-pattern
+expansion (CSRAttrCreateBlock, csr.c:193-218): on TPU a single *nodal*
+pattern is kept and the Jacobian is stored as one BSR matrix of 6x6 blocks
+(SURVEY.md section 7, design deltas 2-3). The expensive part of assembly -
+finding where each element 4x4-block-pair lands in the global matrix - is
+precomputed here once as a dense (ne, 4, 4) int32 map, replacing the
+reference's per-entry linear column search at scatter time
+(matrix_impl.cu:103-107).
+
+A C++ fast path for very large meshes lives in native/ (same outputs);
+this NumPy version is the oracle.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from dedflow_tpu.utils.dtypes import INDEX_DTYPE
+
+
+@dataclass(frozen=True)
+class Sparsity:
+    """CSR-structured nodal sparsity plus assembly scatter maps."""
+
+    num_node: int
+    row_ptr: np.ndarray  # (N+1,) int
+    col_ind: np.ndarray  # (nnz,) int, sorted within each row
+    row_ids: np.ndarray  # (nnz,) int: row of each nnz (sorted, for segment_sum)
+    elem_nnz: np.ndarray  # (ne, 4, 4) int: nnz index of pair (ien[e,a], ien[e,b])
+    diag_idx: np.ndarray  # (N,) int: nnz index of the diagonal entry of each row
+
+    @property
+    def nnz(self) -> int:
+        return int(self.col_ind.shape[0])
+
+
+def build_sparsity(ien: np.ndarray, num_node: int) -> Sparsity:
+    """Build the nodal sparsity of the tet mesh and the element scatter map.
+
+    The flat key (row * N + col) of the unique node pairs, sorted ascending,
+    *is* the CSR ordering, so the per-element nnz indices are a single
+    searchsorted - no hashmaps (csr.c) and no per-scatter linear col search
+    (matrix_impl.cu:103-107).
+    """
+    ien = np.asarray(ien, dtype=np.int64)
+    ne = ien.shape[0]
+    n = int(num_node)
+    rows = np.repeat(ien, 4, axis=1)  # (ne, 16): a index slow
+    cols = np.tile(ien, (1, 4))  # (ne, 16): b index fast
+    keys = (rows * n + cols).ravel()
+    uniq = np.unique(keys)
+    col_ind = (uniq % n).astype(INDEX_DTYPE)
+    row_of = (uniq // n).astype(np.int64)
+    counts = np.bincount(row_of, minlength=n)
+    row_ptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=row_ptr[1:])
+    elem_nnz = np.searchsorted(uniq, keys).reshape(ne, 4, 4).astype(INDEX_DTYPE)
+    diag_keys = np.arange(n, dtype=np.int64) * (n + 1)
+    diag_idx = np.searchsorted(uniq, diag_keys).astype(INDEX_DTYPE)
+    assert (uniq[diag_idx] == diag_keys).all(), "missing diagonal entries"
+    return Sparsity(
+        num_node=n,
+        row_ptr=row_ptr.astype(INDEX_DTYPE),
+        col_ind=col_ind,
+        row_ids=row_of.astype(INDEX_DTYPE),
+        elem_nnz=elem_nnz,
+        diag_idx=diag_idx,
+    )
+
+
+def scatter_permutation(elem_nnz: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Sorted-scatter plan: permutation making the flat elem->nnz targets
+    non-decreasing, enabling `segment_sum(..., indices_are_sorted=True)`
+    instead of random-order scatter-add (SURVEY.md section 7, hard part 3).
+
+    Returns (perm, sorted_targets), both (ne*16,) int32.
+    """
+    flat = np.asarray(elem_nnz, dtype=np.int64).ravel()
+    perm = np.argsort(flat, kind="stable").astype(INDEX_DTYPE)
+    return perm, flat[perm].astype(INDEX_DTYPE)

@@ -1,0 +1,21 @@
+"""Test configuration: CPU backend with 8 virtual devices and f64.
+
+Mirrors the reference's validation regime (f64 everywhere, common.h) and the
+TPU analogue of "fake backends" for multi-chip tests (SURVEY.md section 4):
+`xla_force_host_platform_device_count=8` simulates an 8-chip mesh on CPU.
+Must run before jax initializes its backends, hence the env mutation at
+import time.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
