@@ -1,0 +1,187 @@
+"""Krylov solvers: right-preconditioned GMRES and PCG, fully on-device.
+
+GMRES reproduces the reference algorithm (GMRESSolvePrivate,
+krylov.c:56-334): no restart, Krylov dimension = max_iter, classical
+Gram-Schmidt as two matvecs against the basis (krylov.c:163-186), Givens
+rotations, convergence on |beta[iter+1]| vs atol / rtol*||r0||
+(krylov.c:281-290). TPU-native differences:
+
+- The whole solve is one `lax.while_loop` under jit: zero host round-trips.
+  The reference syncs a scalar to the host every iteration (krylov.c:235)
+  and tests convergence every 20 iterations (krylov.c:281); here the test
+  runs every iteration for free.
+- Dynamic-width CGS is expressed by masking a full-width (maxit+1, n)
+  basis matmul - large fused matmuls instead of growing gemvs.
+- CG is actually implemented (the reference's is an empty stub,
+  krylov.c:42-51).
+
+Vectors may have any shape (e.g. (N, 6) states); reductions flatten.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class KrylovInfo(NamedTuple):
+    x: jnp.ndarray
+    iters: jnp.ndarray  # iterations performed
+    resnorm: jnp.ndarray  # final (estimated) residual norm
+    resnorm0: jnp.ndarray  # initial residual norm
+    converged: jnp.ndarray
+
+
+def _flat(v: jnp.ndarray) -> jnp.ndarray:
+    return v.reshape(-1)
+
+
+def gmres(
+    matvec: Callable,
+    b: jnp.ndarray,
+    x0: jnp.ndarray | None = None,
+    *,
+    maxit: int = 120,
+    atol: float = 1e-12,
+    rtol: float = 1e-4,
+    pc: Callable | None = None,
+) -> KrylovInfo:
+    """Solve A x = b. `pc` is the right preconditioner (approximate A^-1)."""
+    if pc is None:
+        pc = lambda v: v
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    shape = b.shape
+    dtype = b.dtype
+    n = b.size
+    eps = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+
+    r0 = _flat(b - matvec(x0))
+    beta0 = jnp.linalg.norm(r0)
+    tol = jnp.maximum(atol, (beta0 + 1e-16) * rtol)
+
+    Q = jnp.zeros((maxit + 1, n), dtype=dtype)
+    Q = Q.at[0].set(r0 / jnp.maximum(beta0, eps))
+    H = jnp.zeros((maxit, maxit), dtype=dtype)
+    cs = jnp.zeros(maxit, dtype=dtype)
+    sn = jnp.zeros(maxit, dtype=dtype)
+    beta = jnp.zeros(maxit + 1, dtype=dtype).at[0].set(beta0)
+
+    idx = jnp.arange(maxit + 1)
+
+    def cond(carry):
+        Q, H, cs, sn, beta, it, done = carry
+        return jnp.logical_and(it < maxit, jnp.logical_not(done))
+
+    def body(carry):
+        Q, H, cs, sn, beta, it, done = carry
+        q = Q[it].reshape(shape)
+        w = _flat(matvec(pc(q)))
+        # CGS: h = Q^T w over the active basis (masked full-width matmul,
+        # reference krylov.c:163-186).
+        mask = (idx <= it).astype(dtype)
+        h = (Q @ w) * mask
+        w = w - Q.T @ h
+        hnext = jnp.linalg.norm(w)
+        Q = Q.at[it + 1].set(w / jnp.maximum(hnext, eps))
+
+        # Apply accumulated Givens rotations to the new column
+        # (krylov.c:258-263).
+        def rot(i, hv):
+            hi = hv[i]
+            hi1 = hv[i + 1]
+            do = (i < it).astype(dtype)
+            new_i = jnp.where(do > 0, cs[i] * hi + sn[i] * hi1, hi)
+            new_i1 = jnp.where(do > 0, -sn[i] * hi + cs[i] * hi1, hi1)
+            return hv.at[i].set(new_i).at[i + 1].set(new_i1)
+
+        hcol = jax.lax.fori_loop(0, maxit, rot, h)
+
+        # New rotation eliminating hnext (krylov.c:266).
+        hk = hcol[it]
+        denom = jnp.sqrt(hk * hk + hnext * hnext)
+        c_new = jnp.where(denom > 0, hk / jnp.maximum(denom, eps), 1.0)
+        s_new = jnp.where(denom > 0, hnext / jnp.maximum(denom, eps), 0.0)
+        hcol = hcol.at[it].set(denom)
+        cs = cs.at[it].set(c_new)
+        sn = sn.at[it].set(s_new)
+
+        # Residual update (GMRESResidualUpdatePrivate, krylov_util.cu:5-18).
+        bi = beta[it]
+        beta = beta.at[it + 1].set(-s_new * bi).at[it].set(c_new * bi)
+
+        H = H.at[:, it].set(hcol[:maxit])
+        rnrm = jnp.abs(beta[it + 1])
+        done = rnrm < tol
+        return Q, H, cs, sn, beta, it + 1, done
+
+    Q, H, cs, sn, beta, iters, done = jax.lax.while_loop(
+        cond, body, (Q, H, cs, sn, beta, jnp.int32(0), beta0 < tol)
+    )
+
+    # y = H[:k, :k]^-1 beta[:k] via masked full triangular solve.
+    active = jnp.arange(maxit) < iters
+    Hm = H + jnp.diag(jnp.where(active, 0.0, 1.0).astype(dtype))
+    rhs = jnp.where(active, beta[:maxit], 0.0)
+    y = jax.scipy.linalg.solve_triangular(Hm, rhs, lower=False)
+    dx = pc((Q[:maxit].T @ y).reshape(shape))
+    x = x0 + dx
+    return KrylovInfo(
+        x=x,
+        iters=iters,
+        resnorm=jnp.abs(beta[iters]),
+        resnorm0=beta0,
+        converged=done,
+    )
+
+
+def cg(
+    matvec: Callable,
+    b: jnp.ndarray,
+    x0: jnp.ndarray | None = None,
+    *,
+    maxit: int = 1000,
+    atol: float = 1e-12,
+    rtol: float = 1e-8,
+    pc: Callable | None = None,
+) -> KrylovInfo:
+    """Preconditioned conjugate gradients for SPD operators.
+
+    The reference declares CG but never implements it (krylov.c:42-51);
+    this completes the capability.
+    """
+    if pc is None:
+        pc = lambda v: v
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    r = b - matvec(x0)
+    z = pc(r)
+    p = z
+    rz = jnp.vdot(_flat(r), _flat(z))
+    rnrm0 = jnp.linalg.norm(_flat(r))
+    tol = jnp.maximum(atol, rnrm0 * rtol)
+
+    def cond(carry):
+        x, r, p, rz, it, rnrm = carry
+        return jnp.logical_and(it < maxit, rnrm >= tol)
+
+    def body(carry):
+        x, r, p, rz, it, _ = carry
+        ap = matvec(p)
+        alpha = rz / jnp.vdot(_flat(p), _flat(ap))
+        x = x + alpha * p
+        r = r - alpha * ap
+        z = pc(r)
+        rz_new = jnp.vdot(_flat(r), _flat(z))
+        p = z + (rz_new / rz) * p
+        return x, r, p, rz_new, it + 1, jnp.linalg.norm(_flat(r))
+
+    x, r, p, rz, iters, rnrm = jax.lax.while_loop(
+        cond, body, (x0, r, p, rz, jnp.int32(0), rnrm0)
+    )
+    return KrylovInfo(
+        x=x, iters=iters, resnorm=rnrm, resnorm0=rnrm0, converged=rnrm < tol
+    )

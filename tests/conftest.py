@@ -9,7 +9,7 @@ import time.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -18,4 +18,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The container's sitecustomize registers the axon TPU plugin and forces
+# jax_platforms="axon,cpu"; override after import, before backend init.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
