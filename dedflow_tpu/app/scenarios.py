@@ -1,0 +1,67 @@
+"""Canonical simulation scenarios.
+
+`reference_scenario` reproduces the reference driver's setup (main.c):
+initial condition MyFieldInit (main.c:286-321) - u=(1,0,0), p=0, phi=x,
+T=-x - and the BC layout of main.c:454-477 on a generated box mesh whose
+boundary indices are mapped onto the box sides:
+
+  reference bound 0 (strong u all comps) -> x- (inflow)
+  reference bound 1 (no BCs: do-nothing) -> x+ (outflow)
+  reference bound 2 (strong u_y)         -> y-/y+ (slip)
+  reference bound 3 (strong u_z)         -> z-    (slip)
+  reference bound 4 (weak/Nitsche)       -> z+
+
+(The reference's box.h5 boundary numbering comes from gmsh physical tags
+we do not possess; the mapping above preserves the physical roles.)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from dedflow_tpu.config import BCSpec, SolverConfig
+from dedflow_tpu.mesh.mesh import Mesh
+
+
+def reference_initial_state(mesh: Mesh) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(wgold, dwgold, dwg) per MyFieldInit + main.c:504-519.
+
+    Note the reference computes a smoothed level-set step `h` but does not
+    use it (main.c:306-316): phi = x and T = -x are what is stored.
+    Pressure starts at 0 in the dwg slot (main.c:519).
+    """
+    n = mesh.num_node
+    wg = np.zeros((n, 6))
+    wg[:, 0] = 1.0  # u = (1, 0, 0) (main.c:301-303)
+    wg[:, 4] = mesh.xg[:, 0]  # phi = x (main.c:318)
+    wg[:, 5] = -mesh.xg[:, 0]  # T = -x (main.c:319)
+    dwgold = np.zeros((n, 6))
+    dwg = np.zeros((n, 6))  # dwg pressure = buffer p = 0 (main.c:519)
+    return wg, dwgold, dwg
+
+
+def box_channel_bcs() -> tuple[BCSpec, ...]:
+    """Reference BC roles on box side order [x-, x+, y-, y+, z-, z+].
+
+    x+ deliberately carries NO boundary condition (do-nothing outflow,
+    the role of the reference's boundary 1, which receives neither strong
+    flags nor face assembly): the missing natural-BC face term there is
+    what pins the pressure level - with every boundary constrained the
+    Jacobian has an exact constant-pressure null mode.
+    """
+    return (
+        BCSpec(boundary=0, strong_components=(0, 1, 2)),  # inflow (ref bound 0)
+        BCSpec(boundary=2, strong_components=(1,)),  # y- slip (ref bound 2)
+        BCSpec(boundary=3, strong_components=(1,)),  # y+ slip
+        BCSpec(boundary=4, strong_components=(2,)),  # z- slip (ref bound 3)
+        BCSpec(boundary=5, strong_components=(), weak=True),  # z+ weak (ref 4)
+    )
+
+
+def reference_scenario_config(**overrides) -> SolverConfig:
+    cfg = SolverConfig(bcs=box_channel_bcs())
+    if overrides:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, **overrides)
+    return cfg

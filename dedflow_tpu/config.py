@@ -1,0 +1,149 @@
+"""Configuration dataclasses (+ JSON (de)serialization).
+
+The reference has no runtime configuration at all: physics and time
+constants are compile-time #defines duplicated between main.c:23-29 and
+assemble.cu:23-40 (and must be kept in sync by hand), BCs are hard-coded
+in main (main.c:454-477), and `Init(argc, argv)` ignores argv
+(common.c:21). This module is the idiomatic replacement (SURVEY.md
+section 5, config/flag system).
+
+Defaults reproduce the reference scenario exactly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class Physics:
+    """Material constants (assemble.cu:35-42)."""
+
+    rho: float = 1.0e3  # kRHO
+    mu: float = 10.0 / 3.0  # kMU
+    cp: float = 1.0  # kCP
+    kappa: float = 0.66  # kKAPPA
+    body_force: tuple[float, float, float] = (0.0, 0.0, 0.0)  # fb (gravity off)
+
+
+@dataclass(frozen=True)
+class TimeScheme:
+    """Generalized-alpha (main.c:23-27): rho_inf = kRHOC = 0.5."""
+
+    dt: float = 5e-2  # kDT
+    rho_inf: float = 0.5  # kRHOC
+
+    @property
+    def alpha_m(self) -> float:
+        return (3.0 - self.rho_inf) / (1.0 + self.rho_inf)  # kALPHAM
+
+    @property
+    def alpha_f(self) -> float:
+        return 1.0 / (1.0 + self.rho_inf)  # kALPHAF
+
+    @property
+    def gamma(self) -> float:
+        return 0.5 + self.alpha_m - self.alpha_f  # kGAMMA
+
+    @property
+    def fact_dw(self) -> float:
+        """d(dw_alpha)/d(dwg) = alpha_m (fact1, main.c:95)."""
+        return self.alpha_m
+
+    @property
+    def fact_w(self) -> float:
+        """d(w_alpha)/d(dwg) = dt*alpha_f*gamma (fact2, main.c:96-97)."""
+        return self.dt * self.alpha_f * self.gamma
+
+
+@dataclass(frozen=True)
+class NewtonConfig:
+    """main.c:83-89. `atol` is an absolute per-field floor the reference
+    lacks (with atol=0 the semantics are identical): a field whose initial
+    residual is exactly zero - e.g. continuity for a uniform initial flow -
+    makes the relative test unattainable and the reference then always
+    runs all 4 iterations."""
+
+    max_iter: int = 4
+    rtol: float = 0.5e-3
+    atol: float = 0.0
+
+
+@dataclass(frozen=True)
+class KrylovConfig:
+    """main.c:406."""
+
+    solver: str = "gmres"
+    max_iter: int = 120
+    atol: float = 1e-12
+    rtol: float = 1e-4
+
+
+@dataclass(frozen=True)
+class BCSpec:
+    """Declarative BC: strong components and/or weak (Nitsche) flag for one
+    boundary (generalizing main.c:454-477 + the hard-coded weak boundary 4,
+    assemble.cu:1827)."""
+
+    boundary: int
+    strong_components: tuple[int, ...] = ()
+    weak: bool = False
+
+
+@dataclass(frozen=True)
+class SolverConfig:
+    physics: Physics = field(default_factory=Physics)
+    time: TimeScheme = field(default_factory=TimeScheme)
+    newton: NewtonConfig = field(default_factory=NewtonConfig)
+    krylov: KrylovConfig = field(default_factory=KrylovConfig)
+    bcs: tuple[BCSpec, ...] = ()
+    num_steps: int = 4000  # main.c:331
+    save_every: int = 10  # main.c:571
+    freeze_phi_temperature: bool = True  # main.c:64 zeroes phi/T rows
+
+
+def reference_bcs() -> tuple[BCSpec, ...]:
+    """The reference scenario's BCs (main.c:454-477, assemble.cu:1827):
+    boundary 0: u fixed (inflow); 2: u_y = 0; 3: u_z = 0;
+    4: no strong velocity BC + weak/Nitsche boundary terms."""
+    return (
+        BCSpec(boundary=0, strong_components=(0, 1, 2)),
+        BCSpec(boundary=2, strong_components=(1,)),
+        BCSpec(boundary=3, strong_components=(2,)),
+        BCSpec(boundary=4, strong_components=(), weak=True),
+    )
+
+
+def _to_dict(obj):
+    if dataclasses.is_dataclass(obj) and not isinstance(obj, type):
+        return {k: _to_dict(v) for k, v in dataclasses.asdict(obj).items()}
+    return obj
+
+
+def save_config(cfg: SolverConfig, path: str) -> None:
+    with open(path, "w") as f:
+        json.dump(_to_dict(cfg), f, indent=2)
+
+
+def load_config(path: str) -> SolverConfig:
+    with open(path) as f:
+        d = json.load(f)
+    return SolverConfig(
+        physics=Physics(**{**d.get("physics", {}), "body_force": tuple(d.get("physics", {}).get("body_force", (0.0, 0.0, 0.0)))}),
+        time=TimeScheme(**d.get("time", {})),
+        newton=NewtonConfig(**d.get("newton", {})),
+        krylov=KrylovConfig(**d.get("krylov", {})),
+        bcs=tuple(
+            BCSpec(
+                boundary=b["boundary"],
+                strong_components=tuple(b.get("strong_components", ())),
+                weak=b.get("weak", False),
+            )
+            for b in d.get("bcs", [])
+        ),
+        num_steps=d.get("num_steps", 4000),
+        save_every=d.get("save_every", 10),
+        freeze_phi_temperature=d.get("freeze_phi_temperature", True),
+    )

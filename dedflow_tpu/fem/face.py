@@ -1,0 +1,211 @@
+"""Weak (Nitsche-type) boundary assembly with backflow stabilization.
+
+Reference: AssembleSystemTetFace + FaceAssemblyKernel + GetElemFaceNVKernel
+(assemble.cu:1764-1964, 1038-1214, 279-319). The reference hard-codes this
+to boundary index 4 (assemble.cu:1827); here any boundary may be declared
+weak (config.BCSpec.weak). The reference's color-masked scatter loops
+(assemble.cu:1916-1944) - needed because facets of one boundary share
+parent-element colors - are replaced by the same deterministic sorted
+segment-sums as the volume path.
+
+Facet quadrature-point fields use the parent element's nodal values with
+the facet shape table SHLB[forn]; the velocity comes from w_alpha and the
+pressure from dw_alpha slot 3 (assemble.cu:1841-1848), as in the volume
+kernels. The Nanson normal nv is NOT unit length: its magnitude carries
+the facet area Jacobian, so no detJ appears in the facet integrals.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dedflow_tpu.config import Physics, TimeScheme
+from dedflow_tpu.fem import quadrature as quad
+from dedflow_tpu.fem.assembly import FEMContext
+from dedflow_tpu.fem.element import face_normals
+from dedflow_tpu.mesh.mesh import Mesh
+from dedflow_tpu.sparse.topology import Sparsity
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class FaceContext:
+    """Per-boundary facet tables + gathered parent geometry + scatter plans."""
+
+    f2e: jnp.ndarray  # (nf,)
+    forn: jnp.ndarray  # (nf,)
+    ien: jnp.ndarray  # (nf, 4) parent element connectivity
+    inv_j: jnp.ndarray  # (nf, 3, 3)
+    shgrad: jnp.ndarray  # (nf, 4, 3)
+    nv: jnp.ndarray  # (nf, 3) Nanson normals
+    shlb: jnp.ndarray  # (nf, NQRB, 4) facet shape values SHLB[forn]
+    node_perm: jnp.ndarray  # (nf*4,)
+    node_targets: jnp.ndarray  # (nf*4,)
+    mat_perm: jnp.ndarray  # (nf*16,)
+    mat_targets: jnp.ndarray  # (nf*16,)
+    num_facet: int = field(metadata=dict(static=True))
+
+
+def build_face_context(
+    mesh: Mesh, ctx: FEMContext, sparsity: Sparsity, boundary: int
+) -> FaceContext:
+    b = mesh.boundaries[boundary]
+    f2e = jnp.asarray(b.f2e)
+    forn = jnp.asarray(b.forn)
+    inv_j = ctx.inv_j[f2e]
+    det_j = ctx.det_j[f2e]
+    nv = face_normals(inv_j, det_j, forn)
+    shlb = jnp.asarray(quad.SHLB, dtype=ctx.xg.dtype)[forn]
+    ien_np = np.asarray(mesh.ien)[np.asarray(b.f2e)]
+    node_t = ien_np.ravel()
+    node_perm = np.argsort(node_t, kind="stable").astype(np.int32)
+    mat_t = np.asarray(sparsity.elem_nnz)[np.asarray(b.f2e)].ravel()
+    mat_perm = np.argsort(mat_t, kind="stable").astype(np.int32)
+    return FaceContext(
+        f2e=f2e,
+        forn=forn,
+        ien=jnp.asarray(ien_np),
+        inv_j=inv_j,
+        shgrad=ctx.shgrad[f2e],
+        nv=nv,
+        shlb=shlb,
+        node_perm=jnp.asarray(node_perm),
+        node_targets=jnp.asarray(node_t[node_perm].astype(np.int32)),
+        mat_perm=jnp.asarray(mat_perm),
+        mat_targets=jnp.asarray(mat_t[mat_perm].astype(np.int32)),
+        num_facet=b.num_facet,
+    )
+
+
+def _facet_fields(fctx: FaceContext, w_alpha, dw_alpha):
+    """(nf,4,3) parent u gather, (nf,4) parent p gather, qp values."""
+    u_e = w_alpha[fctx.ien, :3]  # (nf, 4, 3)
+    p_e = dw_alpha[fctx.ien, 3]  # (nf, 4)
+    u_qb = jnp.einsum("fqa,fai->fqi", fctx.shlb, u_e)
+    p_qb = jnp.einsum("fqa,fa->fq", fctx.shlb, p_e)
+    grad_u = jnp.einsum("fai,faj->fij", u_e, fctx.shgrad)
+    return u_qb, p_qb, grad_u
+
+
+def _tau_b(fctx: FaceContext, mu: float) -> jnp.ndarray:
+    """Penalty tau_B = 4*mu*|J^-1 nv| (assemble.cu:1054-1064)."""
+    a = jnp.einsum("fin,fn->fi", fctx.inv_j, fctx.nv)
+    return 4.0 * mu * jnp.linalg.norm(a, axis=-1)
+
+
+def face_residual_elements(
+    fctx: FaceContext,
+    w_alpha: jnp.ndarray,
+    dw_alpha: jnp.ndarray,
+    phys: Physics,
+) -> jnp.ndarray:
+    """(nf, 4, 6) facet residual contributions (assemble.cu:1068-1126)."""
+    dtype = w_alpha.dtype
+    gwb = jnp.asarray(quad.GWB, dtype=dtype)
+    rho, mu = phys.rho, phys.mu
+    nv = fctx.nv
+    u_qb, p_qb, grad_u = _facet_fields(fctx, w_alpha, dw_alpha)
+    tau_b = _tau_b(fctx, mu)  # (nf,)
+
+    unor = jnp.einsum("fqi,fi->fq", u_qb, nv)
+    uneg = 0.5 * (unor - jnp.abs(unor))
+    # tmp0 (assemble.cu:1081-1093)
+    ngrad = jnp.einsum("fj,fij->fi", nv, grad_u)  # n_j du_i/dx_j
+    ngrad_t = jnp.einsum("fj,fji->fi", nv, grad_u)  # n_j du_j/dx_i
+    tmp0 = (
+        nv[:, None, :] * p_qb[..., None]
+        - mu * (ngrad + ngrad_t)[:, None, :]
+        - rho * uneg[..., None] * u_qb
+        + tau_b[:, None, None] * u_qb
+    )
+    # tmp1 (assemble.cu:1095-1100)
+    tmp1 = -mu * (
+        jnp.einsum("fi,fqj->fqij", nv, u_qb) + jnp.einsum("fj,fqi->fqij", nv, u_qb)
+    )
+    f_m = jnp.einsum("q,fqa,fqi->fai", gwb, fctx.shlb, tmp0) + jnp.einsum(
+        "q,faj,fqij->fai", gwb, fctx.shgrad, tmp1
+    )
+    f_c = -jnp.einsum("q,fqa,fq->fa", gwb, fctx.shlb, unor)
+    zeros = jnp.zeros(f_c.shape + (2,), dtype=dtype)
+    return jnp.concatenate([f_m, f_c[..., None], zeros], axis=-1)
+
+
+def face_lhs_elements(
+    fctx: FaceContext,
+    w_alpha: jnp.ndarray,
+    dw_alpha: jnp.ndarray,
+    phys: Physics,
+    scheme: TimeScheme,
+) -> jnp.ndarray:
+    """(nf, 4, 4, 6, 6) facet Jacobian contributions (assemble.cu:1127-1193)."""
+    dtype = w_alpha.dtype
+    gwb = jnp.asarray(quad.GWB, dtype=dtype)
+    rho, mu = phys.rho, phys.mu
+    f2 = scheme.fact_w
+    nv = fctx.nv
+    shlb = fctx.shlb
+    u_qb, _, _ = _facet_fields(fctx, w_alpha, dw_alpha)
+    tau_b = _tau_b(fctx, mu)
+    shnorm = jnp.einsum("fai,fi->fa", fctx.shgrad, nv)
+
+    unor = jnp.einsum("fqi,fi->fq", u_qb, nv)
+    uneg = 0.5 * (unor - jnp.abs(unor))
+
+    # velocity diagonal scalar part (assemble.cu:1152-1166)
+    t_diag = (
+        -mu
+        * (
+            jnp.einsum("q,fb,fqa->fab", gwb, shnorm, shlb)
+            + jnp.einsum("q,fa,fqb->fab", gwb, shnorm, shlb)
+        )
+        - rho * jnp.einsum("q,fqa,fqb,fq->fab", gwb, shlb, shlb, uneg)
+        + tau_b[:, None, None] * jnp.einsum("q,fqa,fqb->fab", gwb, shlb, shlb)
+    )
+    # full 3x3 consistency terms (assemble.cu:1171-1181)
+    t_full = -mu * (
+        jnp.einsum("q,fqa,fbi,fj->fabij", gwb, shlb, fctx.shgrad, nv)
+        + jnp.einsum("q,fqb,faj,fi->fabij", gwb, shlb, fctx.shgrad, nv)
+    )
+    eye3 = jnp.eye(3, dtype=dtype)
+    j_uu = f2 * (t_diag[..., None, None] * eye3[None, None, None] + t_full)
+
+    # pressure couplings (assemble.cu:1183-1189)
+    t_ab = jnp.einsum("q,fqa,fqb->fab", gwb, shlb, shlb)
+    j_pu = -f2 * jnp.einsum("fab,fi->fabi", t_ab, nv)  # dRC/dU
+    j_up = jnp.einsum("fab,fi->fabi", t_ab, nv)  # dRM/dP (no fact2!)
+
+    nf = fctx.num_facet
+    j = jnp.zeros((nf, 4, 4, 6, 6), dtype=dtype)
+    j = j.at[..., :3, :3].set(j_uu)
+    j = j.at[..., :3, 3].set(j_up)
+    j = j.at[..., 3, :3].set(j_pu)
+    return j
+
+
+def scatter_face_residual(
+    fctx: FaceContext, elem_f: jnp.ndarray, num_node: int
+) -> jnp.ndarray:
+    flat = elem_f.reshape((fctx.num_facet * 4,) + elem_f.shape[2:])
+    return jax.ops.segment_sum(
+        flat[fctx.node_perm],
+        fctx.node_targets,
+        num_segments=num_node,
+        indices_are_sorted=True,
+    )
+
+
+def scatter_face_matrix(
+    fctx: FaceContext, elem_j: jnp.ndarray, nnz: int
+) -> jnp.ndarray:
+    br, bc = elem_j.shape[-2:]
+    flat = elem_j.reshape(fctx.num_facet * 16, br, bc)
+    return jax.ops.segment_sum(
+        flat[fctx.mat_perm],
+        fctx.mat_targets,
+        num_segments=nnz,
+        indices_are_sorted=True,
+    )

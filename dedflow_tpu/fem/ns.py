@@ -1,0 +1,107 @@
+"""Coupled NS + phi + T system assembly (volume + weak boundary + BCs).
+
+Reproduces AssembleSystem (main.c:31-75): zero targets, volume assembly,
+facet assembly on weak boundaries, zero the phi/T residual rows
+(main.c:64 - those equations are frozen), then strong Dirichlet masking.
+The generalized-alpha state construction reproduces SolveFlowSystem's
+prologue (main.c:107-118).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from dedflow_tpu.config import Physics, TimeScheme
+from dedflow_tpu.fem import dirichlet, weakform
+from dedflow_tpu.fem.assembly import (
+    FEMContext,
+    bsr_from_data,
+    scatter_matrix,
+    scatter_residual,
+)
+from dedflow_tpu.fem.face import (
+    FaceContext,
+    face_lhs_elements,
+    face_residual_elements,
+    scatter_face_matrix,
+    scatter_face_residual,
+)
+from dedflow_tpu.sparse.bsr import BSRMatrix
+
+
+def alpha_states(
+    wgold: jnp.ndarray,
+    dwgold: jnp.ndarray,
+    dwg: jnp.ndarray,
+    scheme: TimeScheme,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Generalized-alpha evaluation states (main.c:107-118):
+    dw_alpha = (1-am) dwgold + am dwg, but pressure slot = dwg pressure;
+    w_alpha = wgold + dt af ((1-g) dwgold + g dwg), pressure slot = 0."""
+    am = scheme.alpha_m
+    af = scheme.alpha_f
+    g = scheme.gamma
+    dt = scheme.dt
+    dwa = (1.0 - am) * dwgold + am * dwg
+    dwa = dwa.at[:, 3].set(dwg[:, 3])
+    wa = wgold + dt * af * ((1.0 - g) * dwgold + g * dwg)
+    wa = wa.at[:, 3].set(0.0)
+    return wa, dwa
+
+
+def assemble_residual(
+    ctx: FEMContext,
+    face_ctxs: tuple[FaceContext, ...],
+    mask: jnp.ndarray,
+    w_alpha: jnp.ndarray,
+    dw_alpha: jnp.ndarray,
+    phys: Physics,
+    scheme: TimeScheme,
+    freeze_phi_temperature: bool = True,
+) -> jnp.ndarray:
+    """Global residual F (N, 6)."""
+    ef = weakform.gather_fields(ctx, w_alpha, dw_alpha)
+    f = scatter_residual(ctx, weakform.ns_residual_elements(ctx, ef, phys, scheme))
+    for fctx in face_ctxs:
+        f = f + scatter_face_residual(
+            fctx,
+            face_residual_elements(fctx, w_alpha, dw_alpha, phys),
+            ctx.num_node,
+        )
+    if freeze_phi_temperature:
+        f = f.at[:, 4:].set(0.0)  # main.c:64
+    return dirichlet.apply_vec(mask, f)
+
+
+def assemble_jacobian(
+    ctx: FEMContext,
+    face_ctxs: tuple[FaceContext, ...],
+    mask: jnp.ndarray,
+    w_alpha: jnp.ndarray,
+    dw_alpha: jnp.ndarray,
+    phys: Physics,
+    scheme: TimeScheme,
+) -> BSRMatrix:
+    """Global 6x6-block BSR Jacobian."""
+    ef = weakform.gather_fields(ctx, w_alpha, dw_alpha)
+    data = scatter_matrix(ctx, weakform.ns_lhs_elements(ctx, ef, phys, scheme))
+    for fctx in face_ctxs:
+        data = data + scatter_face_matrix(
+            fctx,
+            face_lhs_elements(fctx, w_alpha, dw_alpha, phys, scheme),
+            ctx.nnz,
+        )
+    return dirichlet.apply_mat(mask, bsr_from_data(ctx, data))
+
+
+def field_norms(f: jnp.ndarray) -> jnp.ndarray:
+    """Per-field residual norms [velocity, pressure, phi, T]
+    (main.c:127-130)."""
+    return jnp.stack(
+        [
+            jnp.linalg.norm(f[:, :3].reshape(-1)),
+            jnp.linalg.norm(f[:, 3]),
+            jnp.linalg.norm(f[:, 4]),
+            jnp.linalg.norm(f[:, 5]),
+        ]
+    )

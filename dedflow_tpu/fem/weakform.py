@@ -1,0 +1,259 @@
+"""VMS/SUPG-stabilized Navier-Stokes + level-set + temperature weak form.
+
+Vectorized (whole-mesh batched) transcription of the reference's element
+kernels, keeping its exact formulas so that converged results match:
+
+- stabilization parameters: GetStabTau (assemble.cu:444-484),
+- residual (RHS): AssembleWeakFormKernel<TENSOR=1> (assemble.cu:761-924),
+- approximate Jacobian (LHS): AssembleWeakFormLHSKernel
+  (assemble.cu:495-759) - the shared-memory variant that the reference
+  actually runs (IntElemAssembly, assemble.cu:1362-1371).
+
+Notes on faithful quirks (kept deliberately, documented here):
+- The pressure seen by the element kernels comes from the *rate* vector
+  dw_alpha, not w_alpha (main.c:111-118 sets dwalpha[3,:]=dwg[3,:] and
+  walpha[3,:]=0; the gather at assemble.cu:1606-1609 reads
+  dwgalpha + 3N for the "wgalpha" buffer slot 3).
+- The RHS tau uses u.G.u with G = inv(J) inv(J)^T (|J^-T u|^2), while the
+  LHS tau uses |J^-1 u|^2 via the shape-convection trick
+  (assemble.cu:592-601); both are reproduced as-is.
+- The LHS is an inexact (Picard-like) tangent: it drops dtau/du and the
+  advection-velocity derivative of the convection term, exactly like the
+  reference. dRM/dP follows the *used* shared-memory kernel
+  (assemble.cu:647-648), whose SUPG part has the opposite sign from the
+  dead naive kernel (assemble.cu:983-984).
+- phi/phi and T/T element blocks are identity per (a==b) pair
+  (assemble.cu:757-758): the phi/T equations are frozen (their residual
+  rows are zeroed by the driver, main.c:64).
+
+State layout here: (N, 6) nodal arrays with columns [u0,u1,u2,p,phi,T];
+element residuals are (ne, 4, 6) with slot 3 = continuity.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from dedflow_tpu.config import Physics, TimeScheme
+from dedflow_tpu.fem import quadrature as quad
+from dedflow_tpu.fem.assembly import FEMContext, gather_nodal
+
+
+class ElementFields(NamedTuple):
+    """Per-element nodal field gathers (LoadElementValueKernel calls,
+    assemble.cu:1599-1678)."""
+
+    u: jnp.ndarray  # (ne, 4, 3) velocity from w_alpha
+    p: jnp.ndarray  # (ne, 4) pressure from dw_alpha (see module docstring)
+    phi: jnp.ndarray  # (ne, 4) from w_alpha
+    temp: jnp.ndarray  # (ne, 4) from w_alpha
+    du: jnp.ndarray  # (ne, 4, 3) from dw_alpha
+    dphi: jnp.ndarray  # (ne, 4)
+    dtemp: jnp.ndarray  # (ne, 4)
+
+
+def gather_fields(
+    ctx: FEMContext, w_alpha: jnp.ndarray, dw_alpha: jnp.ndarray
+) -> ElementFields:
+    we = gather_nodal(ctx, w_alpha)  # (ne, 4, 6)
+    dwe = gather_nodal(ctx, dw_alpha)
+    return ElementFields(
+        u=we[..., :3],
+        p=dwe[..., 3],
+        phi=we[..., 4],
+        temp=we[..., 5],
+        du=dwe[..., :3],
+        dphi=dwe[..., 4],
+        dtemp=dwe[..., 5],
+    )
+
+
+def _tables(dtype):
+    shl = jnp.asarray(quad.SHL, dtype=dtype)  # (q, a)
+    gw = jnp.asarray(quad.GW, dtype=dtype)  # (q,)
+    return shl, gw
+
+
+def stab_tau(
+    metric: jnp.ndarray,  # (ne, 3, 3)
+    u_q: jnp.ndarray,  # (ne, q, 3)
+    phys: Physics,
+    dt: float,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """GetStabTau (assemble.cu:444-484): (tauM, tauC, tauPhi, tauT),
+    each (ne, q) except tauC's G-terms which are per-element."""
+    rho, mu, cp, kappa = phys.rho, phys.mu, phys.cp, phys.kappa
+    t0 = 4.0 / (dt * dt)
+    t1 = jnp.einsum("eij,eqi,eqj->eq", metric, u_q, u_q)
+    t2 = jnp.einsum("eij,eij->e", metric, metric)[:, None]
+    tr = jnp.einsum("eii->e", metric)[:, None]
+    nu = mu / rho
+    alpha_th = kappa / (rho * cp)
+    tau_m = jax_rsqrt(t0 + t1 + 3.0 * nu * nu * t2) / rho
+    tau_c = jnp.sqrt(t1 + 3.0 * nu * nu * t2) / tr
+    tau_phi = jax_rsqrt(t0 + t1)
+    tau_t = jax_rsqrt(t0 + t1 + 3.0 * alpha_th * alpha_th * t2) / (rho * cp)
+    return tau_m, tau_c, tau_phi, tau_t
+
+
+def jax_rsqrt(x: jnp.ndarray) -> jnp.ndarray:
+    return 1.0 / jnp.sqrt(x)
+
+
+def ns_residual_elements(
+    ctx: FEMContext,
+    ef: ElementFields,
+    phys: Physics,
+    scheme: TimeScheme,
+) -> jnp.ndarray:
+    """(ne, 4, 6) element residuals (AssembleWeakFormKernel<TENSOR=1>)."""
+    dtype = ef.u.dtype
+    shl, gw = _tables(dtype)
+    rho, mu, cp, kappa = phys.rho, phys.mu, phys.cp, phys.kappa
+    fb = jnp.asarray(phys.body_force, dtype=dtype)
+    shgrad, det_j, metric = ctx.shgrad, ctx.det_j, ctx.metric
+
+    # quadrature-point values
+    u_q = jnp.einsum("qa,eai->eqi", shl, ef.u)
+    du_q = jnp.einsum("qa,eai->eqi", shl, ef.du)
+    p_q = jnp.einsum("qa,ea->eq", shl, ef.p)
+    dphi_q = jnp.einsum("qa,ea->eq", shl, ef.dphi)
+    dtemp_q = jnp.einsum("qa,ea->eq", shl, ef.dtemp)
+    # constant per-element gradients of the P1 fields
+    grad_u = jnp.einsum("eai,eaj->eij", ef.u, shgrad)  # du_i/dx_j
+    grad_p = jnp.einsum("ea,eai->ei", ef.p, shgrad)
+    grad_phi = jnp.einsum("ea,eai->ei", ef.phi, shgrad)
+    grad_t = jnp.einsum("ea,eai->ei", ef.temp, shgrad)
+    divu = jnp.einsum("eii->e", grad_u)
+
+    # momentum PDE residual rL (GetrLi inline, assemble.cu:810-817)
+    conv = jnp.einsum("eqj,eij->eqi", u_q, grad_u)
+    r_l = rho * (du_q - fb[None, None, :] + conv) + grad_p[:, None, :]
+
+    tau_m, tau_c, tau_phi, tau_t = stab_tau(metric, u_q, phys, scheme.dt)
+
+    # tmp0 (assemble.cu:837-843): advection velocity corrected by -tauM*rL
+    u_corr = u_q - tau_m[..., None] * r_l
+    tmp0 = rho * (
+        du_q - fb[None, None, :] + jnp.einsum("eqj,eij->eqi", u_corr, grad_u)
+    )
+    # tmp1 (assemble.cu:846-856)
+    sym_grad = mu * (grad_u + jnp.swapaxes(grad_u, -1, -2))
+    tmp1 = (
+        sym_grad[:, None]
+        + rho * tau_m[..., None, None] * jnp.einsum("eqi,eqj->eqij", r_l, u_q)
+        - rho
+        * (tau_m**2)[..., None, None]
+        * jnp.einsum("eqi,eqj->eqij", r_l, r_l)
+    )
+    diag = -p_q + rho * tau_c * divu[:, None]  # (ne, q)
+    eye3 = jnp.eye(3, dtype=dtype)
+    tmp1 = tmp1 + diag[..., None, None] * eye3[None, None]
+
+    # momentum rows (assemble.cu:862-874)
+    f_m = jnp.einsum("q,qa,eqi->eai", gw, shl, tmp0) + jnp.einsum(
+        "q,eaj,eqij->eai", gw, shgrad, tmp1
+    )
+    # continuity row (assemble.cu:876-884)
+    f_c = jnp.einsum("q,qa,e->ea", gw, shl, divu) + jnp.einsum(
+        "q,eq,eqi,eai->ea", gw, tau_m, r_l, shgrad
+    )
+    # phi row (assemble.cu:885-892)
+    shconv = jnp.einsum("eqi,eai->eqa", u_q, shgrad)
+    adv_phi = dphi_q + jnp.einsum("eqi,ei->eq", u_q, grad_phi)
+    f_phi = jnp.einsum(
+        "q,eq,eqa->ea",
+        gw,
+        adv_phi,
+        shl[None, :, :] + tau_phi[..., None] * shconv,
+    )
+    # temperature row (assemble.cu:894-907)
+    adv_t = rho * cp * (dtemp_q + jnp.einsum("eqi,ei->eq", u_q, grad_t))
+    f_t = jnp.einsum(
+        "q,eq,eqa->ea",
+        gw,
+        adv_t,
+        shl[None, :, :] + rho * cp * tau_t[..., None] * shconv,
+    ) + gw.sum() * jnp.einsum("ei,eai->ea", kappa * grad_t, shgrad)
+
+    f = jnp.concatenate(
+        [f_m, f_c[..., None], f_phi[..., None], f_t[..., None]], axis=-1
+    )
+    return f * det_j[:, None, None]
+
+
+def ns_lhs_elements(
+    ctx: FEMContext,
+    ef: ElementFields,
+    phys: Physics,
+    scheme: TimeScheme,
+) -> jnp.ndarray:
+    """(ne, 4, 4, 6, 6) approximate element Jacobians
+    (AssembleWeakFormLHSKernel, assemble.cu:495-759)."""
+    dtype = ef.u.dtype
+    shl, gw = _tables(dtype)
+    rho, mu = phys.rho, phys.mu
+    f1 = scheme.fact_dw  # kALPHAM (assemble.cu:514)
+    f2 = scheme.fact_w  # kDT*kALPHAF*kGAMMA (assemble.cu:515)
+    dt = scheme.dt
+    shgrad, det_j, metric = ctx.shgrad, ctx.det_j, ctx.metric
+    ne = ctx.num_elem
+
+    u_q = jnp.einsum("qa,eai->eqi", shl, ef.u)
+    shconv = jnp.einsum("eqi,eai->eqa", u_q, shgrad)  # (ne, q, a)
+    # LHS tau (assemble.cu:592-602): |J^-1 u|^2 = sum_{a=1..3} shconv_a^2.
+    adv2 = jnp.sum(shconv[..., 1:] ** 2, axis=-1)  # (ne, q)
+    gg = jnp.einsum("eij,eij->e", metric, metric)[:, None]
+    tr = jnp.einsum("eii->e", metric)[:, None]
+    knu = mu / rho
+    tau0 = jax_rsqrt(4.0 / (dt * dt) + adv2 + 3.0 * knu * knu * gg) / rho
+    tau1 = jnp.sqrt(adv2 + 3.0 * knu * knu * gg) / tr
+
+    e_k = jnp.einsum("eai,ebi->eab", shgrad, shgrad)
+    gw_sum = gw.sum()  # = 1/6
+
+    # velocity diagonal scalar block (assemble.cu:618-624)
+    tmp = (
+        f1 * rho * jnp.einsum("q,qa,qb->ab", gw, shl, shl)[None]
+        + f1 * rho * rho * jnp.einsum("q,eq,eqa,qb->eab", gw, tau0, shconv, shl)
+        + f2 * rho * jnp.einsum("q,qa,eqb->eab", gw, shl, shconv)
+        + f2 * rho * rho * jnp.einsum("q,eq,eqa,eqb->eab", gw, tau0, shconv, shconv)
+        + f2 * mu * gw_sum * e_k
+    )
+    # full 3x3 velocity coupling (assemble.cu:638-643)
+    visc = f2 * mu * gw_sum * jnp.einsum("eaj,ebi->eabij", shgrad, shgrad)
+    grad2 = (
+        f2
+        * rho
+        * jnp.einsum("q,eq->e", gw, tau1)[:, None, None, None, None]
+        * jnp.einsum("eai,ebj->eabij", shgrad, shgrad)
+    )
+    eye3 = jnp.eye(3, dtype=dtype)
+    j_uu = tmp[..., None, None] * eye3[None, None, None] + visc + grad2
+
+    # dRM/dP (assemble.cu:646-649; the *used* sign convention)
+    j_up = -jnp.einsum("q,eai,qb->eabi", gw, shgrad, shl) + rho * jnp.einsum(
+        "q,eq,eqa,ebi->eabi", gw, tau0, shconv, shgrad
+    )
+    # dRC/dU (assemble.cu:653-657)
+    j_pu = (
+        f1 * rho * jnp.einsum("q,eq,eai,qb->eabi", gw, tau0, shgrad, shl)
+        + f2 * jnp.einsum("q,qa,ebi->eabi", gw, shl, shgrad)
+        + f2 * rho * jnp.einsum("q,eq,eai,eqb->eabi", gw, tau0, shgrad, shconv)
+    )
+    # dRC/dP (assemble.cu:661)
+    j_pp = jnp.einsum("q,eq->e", gw, tau0)[:, None, None] * e_k
+
+    j = jnp.zeros((ne, 4, 4, 6, 6), dtype=dtype)
+    j = j.at[..., :3, :3].set(j_uu)
+    j = j.at[..., :3, 3].set(j_up)
+    j = j.at[..., 3, :3].set(j_pu)
+    j = j.at[..., 3, 3].set(j_pp)
+    j = j * det_j[:, None, None, None, None]
+    # frozen phi/T identity blocks (assemble.cu:757-758): no detJ/gw scaling.
+    eye_ab = jnp.eye(4, dtype=dtype)[None, :, :]
+    j = j.at[..., 4, 4].add(eye_ab)
+    j = j.at[..., 5, 5].add(eye_ab)
+    return j
