@@ -102,6 +102,11 @@ class SolverConfig:
     num_steps: int = 4000  # main.c:331
     save_every: int = 10  # main.c:571
     freeze_phi_temperature: bool = True  # main.c:64 zeroes phi/T rows
+    # Elements per streaming-assembly chunk (None = whole-mesh). Large
+    # meshes need this on TPU: it bounds the element-Jacobian temp to
+    # chunk*16*36 values (the XLA analogue of the reference's color-batch
+    # loop, assemble.cu:1559).
+    assembly_chunk: int | None = None
 
 
 def reference_bcs() -> tuple[BCSpec, ...]:
@@ -146,4 +151,5 @@ def load_config(path: str) -> SolverConfig:
         num_steps=d.get("num_steps", 4000),
         save_every=d.get("save_every", 10),
         freeze_phi_temperature=d.get("freeze_phi_temperature", True),
+        assembly_chunk=d.get("assembly_chunk"),
     )

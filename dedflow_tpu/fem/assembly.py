@@ -19,6 +19,7 @@ TPU-native replacement for the reference's color-batched assembly loop
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -49,6 +50,8 @@ class FEMContext:
     # matrix scatter plan: sorted (element,a,b) -> nnz
     mat_perm: jnp.ndarray  # (ne*16,) int32
     mat_targets: jnp.ndarray  # (ne*16,) int32, non-decreasing
+    # raw per-element nnz targets (chunked assembly path)
+    elem_nnz: jnp.ndarray  # (ne, 16) int32
     # BSR topology
     col_ind: jnp.ndarray  # (nnz,)
     row_ids: jnp.ndarray  # (nnz,)
@@ -58,18 +61,40 @@ class FEMContext:
     nnz: int = field(metadata=dict(static=True))
 
 
-def build_context(mesh: Mesh, sparsity: Sparsity | None = None, dtype=None) -> FEMContext:
+def build_context(
+    mesh: Mesh,
+    sparsity: Sparsity | None = None,
+    dtype=None,
+    chunk: int | None = None,
+) -> FEMContext:
+    """Device context. With `chunk`, element-sized arrays are zero-padded to
+    a multiple of `chunk` for the streaming (lax.scan) assembly path: pad
+    elements are degenerate (all-node-0), so their geometry and every
+    weak-form contribution are exactly zero (fem.element.tet_geometry)."""
     if sparsity is None:
         sparsity = build_sparsity(mesh.ien, mesh.num_node)
     if dtype is None:
         dtype = jnp.zeros(0).dtype  # default float of current x64 mode
+    ien_np = np.asarray(mesh.ien, dtype=np.int32)
+    elem_nnz_np = np.asarray(sparsity.elem_nnz).reshape(-1, 16)
+    ne = ien_np.shape[0]
+    if chunk is not None and ne % chunk != 0:
+        ne_pad = (ne + chunk - 1) // chunk * chunk
+        ien_np = np.concatenate(
+            [ien_np, np.zeros((ne_pad - ne, 4), dtype=ien_np.dtype)]
+        )
+        elem_nnz_np = np.concatenate(
+            [elem_nnz_np, np.zeros((ne_pad - ne, 16), dtype=elem_nnz_np.dtype)]
+        )
+        ne = ne_pad
     xg = jnp.asarray(mesh.xg, dtype=dtype)
-    ien = jnp.asarray(mesh.ien)
+    ien = jnp.asarray(ien_np)
     geom = tet_geometry(xg[ien])
-    node_perm_np, node_targets_np = _sorted_plan(np.asarray(mesh.ien).ravel())
-    mat_perm_np, mat_targets_np = scatter_permutation(sparsity.elem_nnz)
+    node_perm_np, node_targets_np = _sorted_plan(ien_np.ravel())
+    mat_perm_np, mat_targets_np = scatter_permutation(elem_nnz_np)
     return FEMContext(
         ien=ien,
+        elem_nnz=jnp.asarray(elem_nnz_np),
         xg=xg,
         shgrad=geom.shgrad,
         det_j=geom.det_j,
@@ -83,7 +108,7 @@ def build_context(mesh: Mesh, sparsity: Sparsity | None = None, dtype=None) -> F
         row_ids=jnp.asarray(sparsity.row_ids),
         diag_idx=jnp.asarray(sparsity.diag_idx),
         num_node=mesh.num_node,
-        num_elem=mesh.num_tet,
+        num_elem=ne,
         nnz=sparsity.nnz,
     )
 
@@ -98,31 +123,56 @@ def scatter_residual(ctx: FEMContext, elem_f: jnp.ndarray) -> jnp.ndarray:
 
     Replaces ElemRHSLocal2GlobalKernel (assemble.cu:188-208), whose
     correctness relied on the color batching; here the reduction is a
-    deterministic sorted segment-sum.
+    deterministic sorted segment-sum. The operand is kept <= 2-D: TPU
+    layouts pad the two minor dims to (8, 128) tiles, so trailing
+    structure dims like (4, 6) or (6, 6) would blow memory up ~32x.
     """
-    flat = elem_f.reshape((ctx.num_elem * 4,) + elem_f.shape[2:])
-    return jax.ops.segment_sum(
+    trail = int(np.prod(elem_f.shape[2:], dtype=np.int64)) if elem_f.ndim > 2 else 0
+    flat = elem_f.reshape(
+        (ctx.num_elem * 4, trail) if trail else (ctx.num_elem * 4,)
+    )
+    out = jax.ops.segment_sum(
         flat[ctx.node_perm],
         ctx.node_targets,
         num_segments=ctx.num_node,
         indices_are_sorted=True,
     )
+    return out.reshape((ctx.num_node,) + elem_f.shape[2:])
 
 
 def scatter_matrix(ctx: FEMContext, elem_j: jnp.ndarray) -> jnp.ndarray:
     """(ne, 4, 4, br, bc) element matrices -> (nnz, br, bc) BSR data.
 
     Replaces MatrixAddElemValueBlockedBatched + SetBlockValueToSubmatGPU
-    (matrix_impl.cu:88-202, 370-453).
+    (matrix_impl.cu:88-202, 370-453). 2-D operands for the same TPU
+    tile-padding reason as scatter_residual.
     """
     br, bc = elem_j.shape[-2:]
-    flat = elem_j.reshape(ctx.num_elem * 16, br, bc)
-    return jax.ops.segment_sum(
+    flat = elem_j.reshape(ctx.num_elem * 16, br * bc)
+    out = jax.ops.segment_sum(
         flat[ctx.mat_perm],
         ctx.mat_targets,
         num_segments=ctx.nnz,
         indices_are_sorted=True,
     )
+    return out.reshape(ctx.nnz, br, bc)
+
+
+class ElemGeom(NamedTuple):
+    """Per-element geometry slice: the subset of FEMContext the weak-form
+    kernels read (duck-typed with FEMContext itself)."""
+
+    shgrad: jnp.ndarray
+    det_j: jnp.ndarray
+    metric: jnp.ndarray
+
+
+def slice_elems(ctx: FEMContext, lo, chunk: int) -> tuple[jnp.ndarray, ElemGeom, jnp.ndarray]:
+    """Dynamic element-range slice for the streaming assembly scan:
+    (ien, geometry, nnz-targets) for elements [lo, lo+chunk)."""
+    sl = lambda a: jax.lax.dynamic_slice_in_dim(a, lo, chunk)
+    geom = ElemGeom(shgrad=sl(ctx.shgrad), det_j=sl(ctx.det_j), metric=sl(ctx.metric))
+    return sl(ctx.ien), geom, sl(ctx.elem_nnz)
 
 
 def bsr_from_data(ctx: FEMContext, data: jnp.ndarray) -> BSRMatrix:

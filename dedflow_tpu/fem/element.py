@@ -55,9 +55,25 @@ def inv3x3(j: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
 
 
 def tet_geometry(x_elem: jnp.ndarray) -> TetGeometry:
-    """Batched geometry for element coordinate gathers x_elem (ne, 4, 3)."""
+    """Batched geometry for element coordinate gathers x_elem (ne, 4, 3).
+
+    Degenerate (zero-volume) elements - used as padding by the partitioned
+    mesh layout (parallel.partition) - get zero inv_j/shgrad/metric and
+    det_j = 0, so every one of their weak-form contributions vanishes.
+    """
     j = tet_jacobian(x_elem)
-    inv_j, det = inv3x3(j)
+    c0, c1, c2 = j[..., :, 0], j[..., :, 1], j[..., :, 2]
+    r0 = jnp.cross(c1, c2)
+    r1 = jnp.cross(c2, c0)
+    r2 = jnp.cross(c0, c1)
+    det = jnp.einsum("...i,...i->...", c0, r0)
+    valid = det != 0.0
+    safe_det = jnp.where(valid, det, 1.0)
+    inv_j = (
+        jnp.stack([r0, r1, r2], axis=-2)
+        / safe_det[..., None, None]
+        * valid[..., None, None]
+    )
     det_j = jnp.abs(det)
     # grads[a] = row a-1 of inv(J) for a in 1..3; grads[0] = -sum of rows.
     g123 = inv_j  # (ne, 3, 3): row i = grad of node i+1

@@ -189,23 +189,27 @@ def face_lhs_elements(
 def scatter_face_residual(
     fctx: FaceContext, elem_f: jnp.ndarray, num_node: int
 ) -> jnp.ndarray:
-    flat = elem_f.reshape((fctx.num_facet * 4,) + elem_f.shape[2:])
-    return jax.ops.segment_sum(
+    # <=2-D operands: TPU tile layouts pad trailing small dims (assembly.py)
+    trail = elem_f.shape[2:]
+    flat = elem_f.reshape(fctx.num_facet * 4, -1)
+    out = jax.ops.segment_sum(
         flat[fctx.node_perm],
         fctx.node_targets,
         num_segments=num_node,
         indices_are_sorted=True,
     )
+    return out.reshape((num_node,) + trail)
 
 
 def scatter_face_matrix(
     fctx: FaceContext, elem_j: jnp.ndarray, nnz: int
 ) -> jnp.ndarray:
     br, bc = elem_j.shape[-2:]
-    flat = elem_j.reshape(fctx.num_facet * 16, br, bc)
-    return jax.ops.segment_sum(
+    flat = elem_j.reshape(fctx.num_facet * 16, br * bc)
+    out = jax.ops.segment_sum(
         flat[fctx.mat_perm],
         fctx.mat_targets,
         num_segments=nnz,
         indices_are_sorted=True,
     )
+    return out.reshape(nnz, br, bc)

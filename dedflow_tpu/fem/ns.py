@@ -9,6 +9,7 @@ prologue (main.c:107-118).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from dedflow_tpu.config import Physics, TimeScheme
@@ -18,6 +19,7 @@ from dedflow_tpu.fem.assembly import (
     bsr_from_data,
     scatter_matrix,
     scatter_residual,
+    slice_elems,
 )
 from dedflow_tpu.fem.face import (
     FaceContext,
@@ -49,6 +51,41 @@ def alpha_states(
     return wa, dwa
 
 
+def _chunked_residual(ctx, w_alpha, dw_alpha, phys, scheme, chunk: int):
+    """Streaming volume residual: lax.scan over element chunks so no
+    whole-mesh element temp ever materializes (the XLA analogue of the
+    reference's per-color-batch loop, assemble.cu:1559 - but deterministic
+    and race-free)."""
+    num_chunks = ctx.num_elem // chunk
+
+    def body(carry, k):
+        ien_c, geom, _ = slice_elems(ctx, k * chunk, chunk)
+        ef = weakform.gather_fields(ien_c, w_alpha, dw_alpha)
+        fe = weakform.ns_residual_elements(geom, ef, phys, scheme)
+        carry = carry.at[ien_c.reshape(-1)].add(fe.reshape(chunk * 4, 6))
+        return carry, None
+
+    init = jnp.zeros((ctx.num_node, 6), dtype=w_alpha.dtype)
+    out, _ = jax.lax.scan(body, init, jnp.arange(num_chunks))
+    return out
+
+
+def _chunked_jacobian_data(ctx, w_alpha, dw_alpha, phys, scheme, chunk: int):
+    """Streaming volume Jacobian into flat (nnz, 36) BSR data."""
+    num_chunks = ctx.num_elem // chunk
+
+    def body(carry, k):
+        ien_c, geom, tgt = slice_elems(ctx, k * chunk, chunk)
+        ef = weakform.gather_fields(ien_c, w_alpha, dw_alpha)
+        ej = weakform.ns_lhs_elements(geom, ef, phys, scheme)
+        carry = carry.at[tgt.reshape(-1)].add(ej.reshape(chunk * 16, 36))
+        return carry, None
+
+    init = jnp.zeros((ctx.nnz, 36), dtype=w_alpha.dtype)
+    out, _ = jax.lax.scan(body, init, jnp.arange(num_chunks))
+    return out.reshape(ctx.nnz, 6, 6)
+
+
 def assemble_residual(
     ctx: FEMContext,
     face_ctxs: tuple[FaceContext, ...],
@@ -58,10 +95,16 @@ def assemble_residual(
     phys: Physics,
     scheme: TimeScheme,
     freeze_phi_temperature: bool = True,
+    chunk: int | None = None,
 ) -> jnp.ndarray:
     """Global residual F (N, 6)."""
-    ef = weakform.gather_fields(ctx, w_alpha, dw_alpha)
-    f = scatter_residual(ctx, weakform.ns_residual_elements(ctx, ef, phys, scheme))
+    if chunk:
+        f = _chunked_residual(ctx, w_alpha, dw_alpha, phys, scheme, chunk)
+    else:
+        ef = weakform.gather_fields(ctx.ien, w_alpha, dw_alpha)
+        f = scatter_residual(
+            ctx, weakform.ns_residual_elements(ctx, ef, phys, scheme)
+        )
     for fctx in face_ctxs:
         f = f + scatter_face_residual(
             fctx,
@@ -81,10 +124,14 @@ def assemble_jacobian(
     dw_alpha: jnp.ndarray,
     phys: Physics,
     scheme: TimeScheme,
+    chunk: int | None = None,
 ) -> BSRMatrix:
     """Global 6x6-block BSR Jacobian."""
-    ef = weakform.gather_fields(ctx, w_alpha, dw_alpha)
-    data = scatter_matrix(ctx, weakform.ns_lhs_elements(ctx, ef, phys, scheme))
+    if chunk:
+        data = _chunked_jacobian_data(ctx, w_alpha, dw_alpha, phys, scheme, chunk)
+    else:
+        ef = weakform.gather_fields(ctx.ien, w_alpha, dw_alpha)
+        data = scatter_matrix(ctx, weakform.ns_lhs_elements(ctx, ef, phys, scheme))
     for fctx in face_ctxs:
         data = data + scatter_face_matrix(
             fctx,

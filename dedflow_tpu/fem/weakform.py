@@ -38,7 +38,7 @@ import jax.numpy as jnp
 
 from dedflow_tpu.config import Physics, TimeScheme
 from dedflow_tpu.fem import quadrature as quad
-from dedflow_tpu.fem.assembly import FEMContext, gather_nodal
+from dedflow_tpu.fem.assembly import FEMContext
 
 
 class ElementFields(NamedTuple):
@@ -55,10 +55,10 @@ class ElementFields(NamedTuple):
 
 
 def gather_fields(
-    ctx: FEMContext, w_alpha: jnp.ndarray, dw_alpha: jnp.ndarray
+    ien: jnp.ndarray, w_alpha: jnp.ndarray, dw_alpha: jnp.ndarray
 ) -> ElementFields:
-    we = gather_nodal(ctx, w_alpha)  # (ne, 4, 6)
-    dwe = gather_nodal(ctx, dw_alpha)
+    we = w_alpha[ien]  # (ne, 4, 6)
+    dwe = dw_alpha[ien]
     return ElementFields(
         u=we[..., :3],
         p=dwe[..., 3],
@@ -92,6 +92,9 @@ def stab_tau(
     nu = mu / rho
     alpha_th = kappa / (rho * cp)
     tau_m = jax_rsqrt(t0 + t1 + 3.0 * nu * nu * t2) / rho
+    # tr == 0 only for degenerate padding elements (zero metric); their
+    # contributions are annihilated by det_j = 0 downstream.
+    tr = jnp.where(tr > 0.0, tr, 1.0)
     tau_c = jnp.sqrt(t1 + 3.0 * nu * nu * t2) / tr
     tau_phi = jax_rsqrt(t0 + t1)
     tau_t = jax_rsqrt(t0 + t1 + 3.0 * alpha_th * alpha_th * t2) / (rho * cp)
@@ -199,7 +202,7 @@ def ns_lhs_elements(
     f2 = scheme.fact_w  # kDT*kALPHAF*kGAMMA (assemble.cu:515)
     dt = scheme.dt
     shgrad, det_j, metric = ctx.shgrad, ctx.det_j, ctx.metric
-    ne = ctx.num_elem
+    ne = shgrad.shape[0]
 
     u_q = jnp.einsum("qa,eai->eqi", shl, ef.u)
     shconv = jnp.einsum("eqi,eai->eqa", u_q, shgrad)  # (ne, q, a)
@@ -209,6 +212,7 @@ def ns_lhs_elements(
     tr = jnp.einsum("eii->e", metric)[:, None]
     knu = mu / rho
     tau0 = jax_rsqrt(4.0 / (dt * dt) + adv2 + 3.0 * knu * knu * gg) / rho
+    tr = jnp.where(tr > 0.0, tr, 1.0)  # degenerate padding elements
     tau1 = jnp.sqrt(adv2 + 3.0 * knu * knu * gg) / tr
 
     e_k = jnp.einsum("eai,ebi->eab", shgrad, shgrad)
@@ -252,8 +256,11 @@ def ns_lhs_elements(
     j = j.at[..., 3, :3].set(j_pu)
     j = j.at[..., 3, 3].set(j_pp)
     j = j * det_j[:, None, None, None, None]
-    # frozen phi/T identity blocks (assemble.cu:757-758): no detJ/gw scaling.
-    eye_ab = jnp.eye(4, dtype=dtype)[None, :, :]
+    # frozen phi/T identity blocks (assemble.cu:757-758): no detJ/gw scaling,
+    # but gated off for degenerate padding elements (det_j == 0).
+    eye_ab = (
+        jnp.eye(4, dtype=dtype)[None, :, :] * (det_j > 0.0)[:, None, None]
+    )
     j = j.at[..., 4, 4].add(eye_ab)
     j = j.at[..., 5, 5].add(eye_ab)
     return j

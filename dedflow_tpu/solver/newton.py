@@ -10,33 +10,123 @@ Reproduces SolveFlowSystem (main.c:77-283) and the time loop
   update:    wgold[vel,phi,T] += dt((1-g) dwgold + g dwg);
              dwgold = dwg                               (main.c:561-565)
 
-TPU-native structure: each Newton iteration (J assembly + full GMRES +
-residual reassembly + norms) is ONE jitted function with zero host
-round-trips inside; only the 4 per-field norms cross to the host between
-Newton iterations, exactly the sync granularity of the reference
-(main.c:262-265). A fully-jitted fixed-iteration step (`step_fixed`) is
-provided for benchmarking and sharded execution.
+TPU-native structure: the stepping algebra lives in pure module-level
+functions taking the device contexts as explicit pytree arguments, so the
+same code jits single-chip (NSSolver) and multi-chip (parallel.sharded -
+explicit arguments let shardings propagate; closure-captured constants
+would not). Each Newton iteration (J assembly + full GMRES + residual
+reassembly + norms) is ONE jitted call with zero host round-trips inside;
+only the 4 per-field norms cross to the host between Newton iterations,
+exactly the sync granularity of the reference (main.c:262-265). A
+fully-jitted fixed-iteration step (`step_fixed`) serves benchmarking and
+sharded execution.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import partial
-from typing import Any
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dedflow_tpu.config import SolverConfig
+from dedflow_tpu.config import KrylovConfig, Physics, SolverConfig, TimeScheme
 from dedflow_tpu.fem import dirichlet as dbc
 from dedflow_tpu.fem import ns
-from dedflow_tpu.fem.assembly import build_context
+from dedflow_tpu.fem.assembly import FEMContext, build_context
 from dedflow_tpu.fem.face import build_face_context
 from dedflow_tpu.mesh.mesh import Mesh
 from dedflow_tpu.solver.krylov import gmres
 from dedflow_tpu.solver.pc import NSFieldSplitPC
 from dedflow_tpu.sparse.topology import build_sparsity
+
+# ---------------------------------------------------------------------------
+# Pure stepping functions (jit these with ctx/face_ctxs/mask as arguments).
+# Static (hashable) config args go last.
+
+
+def residual(ctx, face_ctxs, mask, wgold, dwgold, dwg, phys, scheme, freeze, chunk=None):
+    wa, dwa = ns.alpha_states(wgold, dwgold, dwg, scheme)
+    return ns.assemble_residual(
+        ctx, face_ctxs, mask, wa, dwa, phys, scheme, freeze, chunk
+    )
+
+
+def newton_iter(
+    ctx, face_ctxs, mask, wgold, dwgold, dwg, f, phys, scheme, kcfg, freeze, chunk=None
+):
+    """One Newton iteration (main.c:157-279 body): assemble J, solve
+    GMRES(J) dx = F, update dwg, reassemble F. Returns
+    (dwg, f, field_norms, krylov_iters)."""
+    wa, dwa = ns.alpha_states(wgold, dwgold, dwg, scheme)
+    jmat = ns.assemble_jacobian(ctx, face_ctxs, mask, wa, dwa, phys, scheme, chunk)
+    pc = NSFieldSplitPC.from_bsr(jmat)
+    sol = gmres(
+        jmat.matvec,
+        f,
+        maxit=kcfg.max_iter,
+        atol=kcfg.atol,
+        rtol=kcfg.rtol,
+        pc=pc,
+    )
+    dwg = dwg - sol.x  # main.c:226
+    f = residual(
+        ctx, face_ctxs, mask, wgold, dwgold, dwg, phys, scheme, freeze, chunk
+    )
+    return dwg, f, ns.field_norms(f), sol.iters
+
+
+def predict(dwg, scheme):
+    """Generalized-alpha same-rate predictor (main.c:544-545)."""
+    fac = (scheme.gamma - 1.0) / scheme.gamma
+    dwg = dwg.at[:, :3].multiply(fac)
+    dwg = dwg.at[:, 4:].multiply(fac)
+    return dwg
+
+
+def update(wgold, dwgold, dwg, scheme):
+    """End-of-step state update (main.c:561-565); dwgold <- dwg."""
+    g, dt = scheme.gamma, scheme.dt
+    incr = dt * ((1.0 - g) * dwgold + g * dwg)
+    wgold = wgold.at[:, :3].add(incr[:, :3])
+    wgold = wgold.at[:, 4:].add(incr[:, 4:])
+    return wgold, dwg
+
+
+def step_fixed(
+    ctx,
+    face_ctxs,
+    mask,
+    wgold,
+    dwgold,
+    dwg,
+    phys,
+    scheme,
+    kcfg,
+    freeze,
+    num_newton,
+    chunk=None,
+):
+    """One full time step with a fixed Newton iteration count, suitable for
+    a single jit with zero host syncs (benchmarks, sharded execution)."""
+    dwg = predict(dwg, scheme)
+    f = residual(ctx, face_ctxs, mask, wgold, dwgold, dwg, phys, scheme, freeze, chunk)
+
+    def body(_, carry):
+        dwg, f = carry
+        dwg, f, _, _ = newton_iter(
+            ctx, face_ctxs, mask, wgold, dwgold, dwg, f, phys, scheme, kcfg, freeze,
+            chunk,
+        )
+        return dwg, f
+
+    dwg, f = jax.lax.fori_loop(0, num_newton, body, (dwg, f))
+    new_wgold, new_dwgold = update(wgold, dwgold, dwg, scheme)
+    return new_wgold, new_dwgold, dwg
+
+
+# ---------------------------------------------------------------------------
 
 
 @dataclass
@@ -54,7 +144,9 @@ class NSSolver:
         self.mesh = mesh
         self.cfg = cfg
         self.sparsity = build_sparsity(mesh.ien, mesh.num_node)
-        self.ctx = build_context(mesh, self.sparsity, dtype=dtype)
+        self.ctx = build_context(
+            mesh, self.sparsity, dtype=dtype, chunk=cfg.assembly_chunk
+        )
         dtype = self.ctx.xg.dtype
         self.dtype = dtype
         self.face_ctxs = tuple(
@@ -69,74 +161,47 @@ class NSSolver:
         ]
         self.mask = jnp.asarray(dbc.build_mask(mesh, strong, 6))
 
-        phys, scheme = cfg.physics, cfg.time
-        kcfg = cfg.krylov
+        phys, scheme, kcfg = cfg.physics, cfg.time, cfg.krylov
+        freeze = cfg.freeze_phi_temperature
+        chunk = cfg.assembly_chunk
+        static = dict(
+            phys=phys, scheme=scheme, kcfg=kcfg, freeze=freeze, chunk=chunk
+        )
 
-        def _residual(wgold, dwgold, dwg):
-            wa, dwa = ns.alpha_states(wgold, dwgold, dwg, scheme)
-            f = ns.assemble_residual(
-                self.ctx,
-                self.face_ctxs,
-                self.mask,
-                wa,
-                dwa,
-                phys,
-                scheme,
-                cfg.freeze_phi_temperature,
-            )
-            return f
-
-        def _newton_iter(wgold, dwgold, dwg, f):
-            wa, dwa = ns.alpha_states(wgold, dwgold, dwg, scheme)
-            jmat = ns.assemble_jacobian(
-                self.ctx, self.face_ctxs, self.mask, wa, dwa, phys, scheme
-            )
-            pc = NSFieldSplitPC.from_bsr(jmat)
-            sol = gmres(
-                jmat.matvec,
-                f,
-                maxit=kcfg.max_iter,
-                atol=kcfg.atol,
-                rtol=kcfg.rtol,
-                pc=pc,
-            )
-            dwg = dwg - sol.x  # main.c:226
-            f = _residual(wgold, dwgold, dwg)
-            return dwg, f, ns.field_norms(f), sol.iters
-
-        def _predict(dwg):
-            fac = (scheme.gamma - 1.0) / scheme.gamma  # main.c:535
-            dwg = dwg.at[:, :3].multiply(fac)
-            dwg = dwg.at[:, 4:].multiply(fac)
-            return dwg
-
-        def _update(wgold, dwgold, dwg):
-            g, dt = scheme.gamma, scheme.dt
-            incr = dt * ((1.0 - g) * dwgold + g * dwg)
-            wgold = wgold.at[:, :3].add(incr[:, :3])
-            wgold = wgold.at[:, 4:].add(incr[:, 4:])
-            return wgold, dwg  # dwgold <- dwg (main.c:565)
-
-        self._residual = jax.jit(_residual)
+        self._residual = jax.jit(
+            partial(residual, phys=phys, scheme=scheme, freeze=freeze, chunk=chunk)
+        )
         self._norms = jax.jit(lambda f: ns.field_norms(f))
-        self._newton_iter = jax.jit(_newton_iter)
-        self._predict = jax.jit(_predict)
-        self._update = jax.jit(_update)
+        self._newton_iter = jax.jit(partial(newton_iter, **static))
+        self._predict = jax.jit(partial(predict, scheme=scheme))
+        self._update = jax.jit(partial(update, scheme=scheme))
+        self._step_fixed = jax.jit(
+            partial(step_fixed, **static), static_argnames=("num_newton",)
+        )
 
-        def _step_fixed(wgold, dwgold, dwg, num_newton: int):
-            dwg = _predict(dwg)
-            f = _residual(wgold, dwgold, dwg)
+    def make_step_fn(self, num_newton: int = 4):
+        """A self-contained jittable (wgold, dwgold, dwg) -> new states
+        closure over this solver's contexts, for export/compile checks."""
+        cfg = self.cfg
+        ctx, face_ctxs, mask = self.ctx, self.face_ctxs, self.mask
 
-            def body(_, carry):
-                dwg, f = carry
-                dwg, f, _, _ = _newton_iter(wgold, dwgold, dwg, f)
-                return dwg, f
+        def fn(wgold, dwgold, dwg):
+            return step_fixed(
+                ctx,
+                face_ctxs,
+                mask,
+                wgold,
+                dwgold,
+                dwg,
+                cfg.physics,
+                cfg.time,
+                cfg.krylov,
+                cfg.freeze_phi_temperature,
+                num_newton,
+                cfg.assembly_chunk,
+            )
 
-            dwg, f = jax.lax.fori_loop(0, num_newton, body, (dwg, f))
-            new_wgold, new_dwgold = _update(wgold, dwgold, dwg)
-            return new_wgold, new_dwgold, dwg
-
-        self._step_fixed = jax.jit(_step_fixed, static_argnums=3)
+        return fn
 
     # ------------------------------------------------------------------
     def newton_solve(
@@ -145,11 +210,13 @@ class NSSolver:
         """Adaptive Newton loop with host-side convergence check
         (reference semantics, main.c:157-279)."""
         ncfg = self.cfg.newton
-        f = self._residual(wgold, dwgold, dwg)
+        f = self._residual(self.ctx, self.face_ctxs, self.mask, wgold, dwgold, dwg)
         rnorm0 = np.asarray(self._norms(f)) + 1e-16  # main.c:152-155
         stats = NewtonStats(rnorm0=rnorm0, rnorms=[], krylov_iters=[], converged=False)
         for _ in range(ncfg.max_iter):
-            dwg, f, rn, kit = self._newton_iter(wgold, dwgold, dwg, f)
+            dwg, f, rn, kit = self._newton_iter(
+                self.ctx, self.face_ctxs, self.mask, wgold, dwgold, dwg, f
+            )
             rn = np.asarray(rn)
             stats.rnorms.append(rn)
             stats.krylov_iters.append(int(kit))
@@ -169,4 +236,7 @@ class NSSolver:
 
     def step_fixed(self, wgold, dwgold, dwg, num_newton: int = 4):
         """Fully-jitted step with a fixed Newton iteration count."""
-        return self._step_fixed(wgold, dwgold, dwg, num_newton)
+        return self._step_fixed(
+            self.ctx, self.face_ctxs, self.mask, wgold, dwgold, dwg,
+            num_newton=num_newton,
+        )

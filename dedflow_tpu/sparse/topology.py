@@ -53,7 +53,11 @@ def build_sparsity(ien: np.ndarray, num_node: int) -> Sparsity:
     rows = np.repeat(ien, 4, axis=1)  # (ne, 16): a index slow
     cols = np.tile(ien, (1, 4))  # (ne, 16): b index fast
     keys = (rows * n + cols).ravel()
-    uniq = np.unique(keys)
+    # Every node keeps a diagonal entry even if no element references it
+    # (isolated nodes exist as padding in partitioned meshes; their rows
+    # become unit-diagonal Dirichlet rows).
+    diag_keys = np.arange(n, dtype=np.int64) * (n + 1)
+    uniq = np.unique(np.concatenate([keys, diag_keys]))
     col_ind = (uniq % n).astype(INDEX_DTYPE)
     row_of = (uniq // n).astype(np.int64)
     counts = np.bincount(row_of, minlength=n)

@@ -69,3 +69,36 @@ def test_multiple_steps_stable():
         wg, dwgold, dwg, stats = solver.step(wg, dwgold, dwg)
         assert np.isfinite(np.asarray(wg)).all()
         assert stats.rnorms[-1][0] < 10 * stats.rnorm0[0]
+
+
+def test_chunked_assembly_matches_whole_mesh():
+    """The streaming (lax.scan) assembly path must equal the whole-mesh
+    segment-sum path; chunk padding elements must contribute nothing."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from dedflow_tpu.app.scenarios import (
+        reference_initial_state,
+        reference_scenario_config,
+    )
+    from dedflow_tpu.mesh.gen import box_mesh
+    from dedflow_tpu.solver.newton import NSSolver
+
+    mesh = box_mesh(3, 3, 4)
+    cfg = reference_scenario_config()
+    # chunk=32 does not divide 6*3*3*4=216 elements -> exercises padding... 
+    # (216 % 32 = 24), so the padded tail is hit.
+    cfg_c = dataclasses.replace(cfg, assembly_chunk=32)
+    s0 = NSSolver(mesh, cfg)
+    s1 = NSSolver(mesh, cfg_c)
+    wg, dwgold, dwg = (jnp.asarray(x) for x in reference_initial_state(mesh))
+
+    f0 = s0._residual(s0.ctx, s0.face_ctxs, s0.mask, wg, dwgold, dwg)
+    f1 = s1._residual(s1.ctx, s1.face_ctxs, s1.mask, wg, dwgold, dwg)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f0), rtol=1e-12, atol=1e-13)
+
+    w0, d0, g0 = s0.step_fixed(wg, dwgold, dwg, num_newton=2)
+    w1, d1, g1 = s1.step_fixed(wg, dwgold, dwg, num_newton=2)
+    np.testing.assert_allclose(np.asarray(w1), np.asarray(w0), rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), rtol=1e-7, atol=1e-9)

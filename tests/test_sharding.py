@@ -1,0 +1,93 @@
+"""Multi-chip (domain-decomposed) execution tests on a simulated 8-device
+CPU mesh (conftest sets xla_force_host_platform_device_count=8) - the TPU
+analogue of fake-backend tests (SURVEY.md section 4e).
+
+The reference has no distributed path to mirror (SURVEY.md section 2,
+parallelism inventory); correctness bar: the sharded solver must match the
+single-chip solver on the same mesh to reduction-order accuracy.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from dedflow_tpu.app.scenarios import reference_initial_state, reference_scenario_config
+from dedflow_tpu.mesh.gen import box_mesh
+from dedflow_tpu.parallel.partition import partition_mesh, rcb_parts
+from dedflow_tpu.parallel.sharded import ShardedNSSolver
+from dedflow_tpu.solver.newton import NSSolver
+
+
+def test_rcb_balanced():
+    rng = np.random.default_rng(0)
+    xg = rng.normal(size=(1000, 3))
+    for p in (2, 3, 8):
+        parts = rcb_parts(xg, p)
+        counts = np.bincount(parts, minlength=p)
+        assert counts.min() >= 1000 // p - 1
+        assert counts.max() <= 1000 // p + p  # balanced to rounding
+
+
+def test_partition_preserves_topology():
+    mesh = box_mesh(3, 3, 3)
+    pmesh, info = partition_mesh(mesh, 4)
+    # padded sizes are exact multiples of the part count
+    assert pmesh.num_node % 4 == 0 and pmesh.num_tet % 4 == 0
+    # same geometry under the mapping
+    np.testing.assert_allclose(pmesh.xg[info.node_map], mesh.xg)
+    # each real new element is the old element with renumbered nodes
+    remapped = info.node_map[mesh.ien]
+    np.testing.assert_array_equal(pmesh.ien[info.elem_map], remapped)
+    # pad elements are degenerate (all four nodes identical)
+    pads = pmesh.ien[~info.elem_real]
+    assert (pads == pads[:, :1]).all()
+    # parts are non-decreasing (contiguous subdomains)
+    assert (np.diff(info.elem_part) >= 0).all()
+    assert (np.diff(info.node_part) >= 0).all()
+    # boundary tables still describe the same facets
+    for b_old, b_new in zip(mesh.boundaries, pmesh.boundaries):
+        np.testing.assert_array_equal(
+            np.sort(info.node_map[np.asarray(b_old.nodes)]), np.asarray(b_new.nodes)
+        )
+        assert b_new.num_facet == b_old.num_facet
+
+
+def test_sharded_step_matches_single_chip():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    mesh = box_mesh(4, 3, 3)
+    cfg = reference_scenario_config()
+    wg0, dwgold0, dwg0 = reference_initial_state(mesh)
+
+    ref = NSSolver(mesh, cfg)
+    w1, d1, g1 = ref.step_fixed(
+        jax.numpy.asarray(wg0), jax.numpy.asarray(dwgold0), jax.numpy.asarray(dwg0),
+        num_newton=2,
+    )
+
+    dmesh = jax.make_mesh((8,), ("dd",))
+    sh = ShardedNSSolver(mesh, cfg, dmesh)
+    ws, ds, gs = (sh.shard_state(x) for x in (wg0, dwgold0, dwg0))
+    w2, d2, g2 = sh.step_fixed(ws, ds, gs, num_newton=2)
+
+    # state comes back in original ordering
+    np.testing.assert_allclose(sh.gather_state(w2), np.asarray(w1), rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(sh.gather_state(g2), np.asarray(g1), rtol=1e-6, atol=1e-8)
+
+
+def test_sharded_residual_matches():
+    mesh = box_mesh(3, 3, 4)
+    cfg = reference_scenario_config()
+    wg0, dwgold0, dwg0 = reference_initial_state(mesh)
+
+    ref = NSSolver(mesh, cfg)
+    f1 = ref._residual(
+        ref.ctx, ref.face_ctxs, ref.mask,
+        jax.numpy.asarray(wg0), jax.numpy.asarray(dwgold0), jax.numpy.asarray(dwg0),
+    )
+
+    dmesh = jax.make_mesh((4,), ("dd",))
+    sh = ShardedNSSolver(mesh, cfg, dmesh, axis="dd")
+    f2 = sh.residual(*(sh.shard_state(x) for x in (wg0, dwgold0, dwg0)))
+    np.testing.assert_allclose(
+        sh.gather_state(f2), np.asarray(f1), rtol=1e-10, atol=1e-12
+    )

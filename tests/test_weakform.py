@@ -35,7 +35,7 @@ def test_ns_residual_matches_scalar_oracle():
     mesh = box_mesh(2, 2, 1, lengths=(1.0, 0.8, 1.3))
     ctx = build_context(mesh)
     wa, dwa = _random_states(mesh, 0)
-    ef = gather_fields(ctx, jnp.asarray(wa), jnp.asarray(dwa))
+    ef = gather_fields(ctx.ien, jnp.asarray(wa), jnp.asarray(dwa))
     f = np.asarray(ns_residual_elements(ctx, ef, PHYS, SCHEME))
     for e in [0, 3, mesh.num_tet - 1]:
         nodes = mesh.ien[e]
@@ -62,7 +62,7 @@ def test_ns_lhs_matches_scalar_oracle():
     mesh = box_mesh(2, 1, 2, lengths=(0.9, 1.0, 1.1))
     ctx = build_context(mesh)
     wa, dwa = _random_states(mesh, 1)
-    ef = gather_fields(ctx, jnp.asarray(wa), jnp.asarray(dwa))
+    ef = gather_fields(ctx.ien, jnp.asarray(wa), jnp.asarray(dwa))
     j = np.asarray(ns_lhs_elements(ctx, ef, PHYS, SCHEME))
     for e in [0, 5, mesh.num_tet - 1]:
         nodes = mesh.ien[e]
@@ -115,7 +115,7 @@ def test_residual_vanishes_for_constant_rest_state():
     wa[:, 4] = 2.5
     wa[:, 5] = -1.0
     dwa = np.zeros((mesh.num_node, 6))
-    ef = gather_fields(ctx, jnp.asarray(wa), jnp.asarray(dwa))
+    ef = gather_fields(ctx.ien, jnp.asarray(wa), jnp.asarray(dwa))
     f = np.asarray(ns_residual_elements(ctx, ef, PHYS, SCHEME))
     assert np.allclose(f, 0.0, atol=1e-12)
 
@@ -128,7 +128,7 @@ def test_residual_uniform_flow_volume_terms_vanish():
     wa = np.zeros((mesh.num_node, 6))
     wa[:, 0] = 1.0
     dwa = np.zeros((mesh.num_node, 6))
-    ef = gather_fields(ctx, jnp.asarray(wa), jnp.asarray(dwa))
+    ef = gather_fields(ctx.ien, jnp.asarray(wa), jnp.asarray(dwa))
     f = np.asarray(ns_residual_elements(ctx, ef, PHYS, SCHEME))
     assert np.allclose(f, 0.0, atol=1e-12)
 
@@ -139,7 +139,7 @@ def test_lhs_transposed_symmetry_structure():
     mesh = box_mesh(1, 1, 1)
     ctx = build_context(mesh)
     wa, dwa = _random_states(mesh, 3)
-    ef = gather_fields(ctx, jnp.asarray(wa), jnp.asarray(dwa))
+    ef = gather_fields(ctx.ien, jnp.asarray(wa), jnp.asarray(dwa))
     j = np.asarray(ns_lhs_elements(ctx, ef, PHYS, SCHEME))
     eye = np.eye(4)
     assert np.allclose(j[..., 4, 4], eye[None], atol=1e-14)
