@@ -1,0 +1,207 @@
+"""Simulation driver CLI - the configurable replacement for main.c.
+
+The reference driver is a hard-coded program: fixed input file
+(main.c:360), fixed 4000x5e-2 time loop (main.c:24, 331), hard-coded BCs
+(main.c:454-477), snapshot every 10 steps (main.c:571), resume only by
+editing a variable and recompiling (main.c:480-503). This CLI exposes all
+of it as flags/config (SURVEY.md section 5, config/flag system):
+
+    python -m dedflow_tpu.app.main --box 8 8 8 --steps 20 --out run/
+    python -m dedflow_tpu.app.main --mesh box.h5 --config solver.json
+    python -m dedflow_tpu.app.main --box 8 8 8 --resume 100 --out run/
+    python -m dedflow_tpu.app.main --box 16 8 8 --devices 4   # sharded
+
+Outputs sol.<step>.h5 snapshots in the reference layout (with added
+step/time metadata), a JSONL metrics stream, and optional profiler traces.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="dedflow-tpu", description="TPU-native FEM-DEM DED solver"
+    )
+    m = p.add_mutually_exclusive_group()
+    m.add_argument("--mesh", help="mesh HDF5 (schema of tools/mesh_convert)")
+    m.add_argument(
+        "--box",
+        nargs=3,
+        type=int,
+        metavar=("NX", "NY", "NZ"),
+        help="generate a structured box mesh",
+    )
+    p.add_argument("--config", help="solver config JSON (config.SolverConfig)")
+    p.add_argument("--steps", type=int, default=None, help="override num_steps")
+    p.add_argument("--save-every", type=int, default=None)
+    p.add_argument("--out", default=".", help="output directory")
+    p.add_argument("--resume", type=int, default=0, help="resume from sol.<N>.h5")
+    p.add_argument("--devices", type=int, default=1, help="shard over N devices")
+    p.add_argument("--dtype", choices=["f32", "f64"], default=None)
+    p.add_argument("--chunk", type=int, default=None, help="assembly chunk size")
+    p.add_argument("--profile", help="jax.profiler trace directory")
+    p.add_argument("--metrics", help="JSONL metrics file (default out/metrics.jsonl)")
+    p.add_argument("--log-level", default="info")
+    p.add_argument(
+        "--platform",
+        choices=["tpu", "cpu"],
+        default=None,
+        help="force the JAX backend (the container pins the TPU plugin "
+        "regardless of JAX_PLATFORMS; this wins)",
+    )
+    p.add_argument(
+        "--fixed-newton",
+        type=int,
+        default=None,
+        help="use the fully-jitted fixed-iteration step (no convergence check)",
+    )
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_argparser().parse_args(argv)
+
+    if args.platform == "cpu" and args.devices > 1:
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={args.devices}"
+            ).strip()
+
+    import jax
+
+    if args.platform:
+        name = "cpu" if args.platform == "cpu" else "axon,cpu"
+        try:
+            jax.config.update("jax_platforms", name)
+        except Exception:
+            pass
+
+    import jax.numpy as jnp
+
+    import dataclasses
+
+    from dedflow_tpu.app.scenarios import (
+        reference_initial_state,
+        reference_scenario_config,
+    )
+    from dedflow_tpu.config import load_config
+    from dedflow_tpu.io.h5 import read_mesh_h5, read_solution_h5, write_solution_h5
+    from dedflow_tpu.mesh.gen import box_mesh
+    from dedflow_tpu.solver.newton import NSSolver
+    from dedflow_tpu.utils.log import MetricsWriter, get_logger
+    from dedflow_tpu.utils.profiling import trace
+
+    log = get_logger(level=args.log_level)
+    os.makedirs(args.out, exist_ok=True)
+
+    # --- device banner (the reference's, main.c:336-355, minus CUDA-isms)
+    devs = jax.devices()
+    log.info("devices: %s", ", ".join(f"{d.device_kind}" for d in devs))
+
+    # --- mesh
+    if args.mesh:
+        mesh = read_mesh_h5(args.mesh)
+        log.info("mesh %s: %d nodes, %d tets", args.mesh, mesh.num_node, mesh.num_tet)
+    else:
+        nx, ny, nz = args.box or (8, 8, 8)
+        mesh = box_mesh(nx, ny, nz)
+        log.info("box mesh %dx%dx%d: %d nodes, %d tets", nx, ny, nz,
+                 mesh.num_node, mesh.num_tet)
+
+    # --- config
+    cfg = load_config(args.config) if args.config else reference_scenario_config()
+    overrides = {}
+    if args.steps is not None:
+        overrides["num_steps"] = args.steps
+    if args.save_every is not None:
+        overrides["save_every"] = args.save_every
+    if args.chunk is not None:
+        overrides["assembly_chunk"] = args.chunk
+    if overrides:
+        cfg = dataclasses.replace(cfg, **overrides)
+    dtype = None
+    if args.dtype:
+        dtype = jnp.float32 if args.dtype == "f32" else jnp.float64
+
+    # --- solver (single-chip or domain-decomposed)
+    sharded = args.devices > 1
+    if sharded:
+        from dedflow_tpu.parallel.sharded import ShardedNSSolver
+
+        dmesh = jax.make_mesh((args.devices,), ("dd",))
+        solver = ShardedNSSolver(mesh, cfg, dmesh, dtype=dtype)
+        to_dev = solver.shard_state
+        to_host = solver.gather_state
+    else:
+        solver = NSSolver(mesh, cfg, dtype=dtype)
+        to_dev = lambda a: jnp.asarray(a, dtype=solver.dtype)
+        to_host = np.asarray
+
+    # --- initial / resumed state (main.c:480-533)
+    step0 = args.resume
+    if step0:
+        snap = read_solution_h5(os.path.join(args.out, f"sol.{step0}.h5"))
+        wg_np, dwg_np = snap["wg"], snap["dwg"]
+        dwgold_np = dwg_np.copy()  # reference resumes with dwgold = dwg
+        log.info("resumed from step %d", step0)
+    else:
+        wg_np, dwgold_np, dwg_np = reference_initial_state(mesh)
+        write_solution_h5(
+            os.path.join(args.out, "sol.0.h5"), wg_np, dwg_np, step=0, time=0.0
+        )
+    wg, dwgold, dwg = to_dev(wg_np), to_dev(dwgold_np), to_dev(dwg_np)
+
+    metrics = MetricsWriter(args.metrics or os.path.join(args.out, "metrics.jsonl"))
+    dt = cfg.time.dt
+
+    import time as _time
+
+    with trace(args.profile):
+        for step in range(step0 + 1, step0 + cfg.num_steps + 1):
+            t0 = _time.perf_counter()
+            if args.fixed_newton:
+                wg, dwgold, dwg = solver.step_fixed(
+                    wg, dwgold, dwg, num_newton=args.fixed_newton
+                )
+                stats = None
+            else:
+                out = solver.step(wg, dwgold, dwg)
+                wg, dwgold, dwg = out[:3]
+                stats = out[3] if len(out) > 3 else None
+            wall = _time.perf_counter() - t0
+            rec = {"step": step, "t": step * dt, "step_wall_s": round(wall, 4)}
+            if stats is not None:
+                rec["newton_iters"] = len(stats.rnorms)
+                rec["converged"] = bool(stats.converged)
+                if stats.rnorms:
+                    rec["rnorm"] = [float(v) for v in stats.rnorms[-1]]
+                rec["krylov_iters"] = stats.krylov_iters
+            metrics.write(**rec)
+            log.info(
+                "step %d  t=%.4f  wall=%.3fs%s",
+                step,
+                step * dt,
+                wall,
+                f"  newton={rec.get('newton_iters')}" if stats else "",
+            )
+            if step % cfg.save_every == 0:
+                write_solution_h5(
+                    os.path.join(args.out, f"sol.{step}.h5"),
+                    to_host(wg),
+                    to_host(dwg),
+                    step=step,
+                    time=step * dt,
+                )
+    metrics.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
