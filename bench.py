@@ -103,7 +103,12 @@ def main() -> None:
         file=sys.stderr,
     )
     import dataclasses
-    cfg = dataclasses.replace(cfg, assembly_chunk=int(os.environ.get("DEDFLOW_BENCH_CHUNK", 32768)))
+    chunk_env = int(os.environ.get("DEDFLOW_BENCH_CHUNK", 0))
+    cfg = dataclasses.replace(
+        cfg,
+        assembly_chunk=chunk_env or None,
+        scatter_method=os.environ.get("DEDFLOW_BENCH_SCATTER", "prefix"),
+    )
     solver = NSSolver(mesh, cfg, dtype=dtype)
     wg, dwgold, dwg = reference_initial_state(mesh)
     wg, dwgold, dwg = (jnp.asarray(x, dtype=dtype) for x in (wg, dwgold, dwg))
@@ -115,6 +120,8 @@ def main() -> None:
     # program size by the mesh size.
     chunk = cfg.assembly_chunk
 
+    method = cfg.scatter_method
+
     def resid(ctx, face_ctxs, mask, wg, dwgold, dwg):
         wa, dwa = ns.alpha_states(wg, dwgold, dwg, scheme)
         return ns.assemble_residual(
@@ -124,15 +131,15 @@ def main() -> None:
     def jac(ctx, face_ctxs, mask, wg, dwgold, dwg):
         wa, dwa = ns.alpha_states(wg, dwgold, dwg, scheme)
         return ns.assemble_jacobian(
-            ctx, face_ctxs, mask, wa, dwa, phys, scheme, chunk
+            ctx, face_ctxs, mask, wa, dwa, phys, scheme, chunk, method
         ).data
 
     n_spmv = 10
 
     def spmv_loop(ctx, data, x):
-        from dedflow_tpu.fem.assembly import bsr_from_data
+        from dedflow_tpu.fem.assembly import fsbsr_from_data
 
-        mat = bsr_from_data(ctx, data)
+        mat = fsbsr_from_data(ctx, data)
 
         def body(_, v):
             y = mat.matvec(v)
@@ -160,9 +167,19 @@ def main() -> None:
     t_s, _ = _timeit(spmv_c, solver.ctx, jmat_data, f)
     log(f"spmv timed {t_s*1e3:.1f} ms")
 
-    fl_f, by_f = _cost(resid_c)
-    fl_j, by_j = _cost(jac_c)
-    fl_s, by_s = _cost(spmv_c)
+    fl_f, _ = _cost(resid_c)
+    fl_j, _ = _cost(jac_c)
+    fl_s, _ = _cost(spmv_c)
+
+    # Analytic minimal HBM traffic (roofline): geometry+gathers+updates
+    # for the two assemblies, matrix+gathered x for each SpMV.
+    ne = solver.ctx.num_elem
+    n_nodes = solver.ctx.num_node
+    pr = solver.ctx.ell_width
+    fsz = jnp.dtype(dtype).itemsize
+    by_f = ne * (22 + 2 * 4 * 6) * fsz + n_nodes * 6 * fsz
+    by_j = ne * (22 + 2 * 4 * 6) * fsz + 3 * ne * 16 * 18 * fsz + n_nodes * pr * 18 * fsz
+    by_s = n_spmv * (n_nodes * pr * (18 + 6) * fsz + n_nodes * 12 * fsz)
 
     total_t = t_f + t_j + t_s
     total_fl = fl_f + fl_j + fl_s

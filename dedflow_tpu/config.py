@@ -107,6 +107,10 @@ class SolverConfig:
     # chunk*16*36 values (the XLA analogue of the reference's color-batch
     # loop, assemble.cu:1559).
     assembly_chunk: int | None = None
+    # "segment" (exact sorted segment-sum; CPU oracle + sharded path) or
+    # "prefix" (permute+cumsum+boundary-diff; ~4x faster on TPU where XLA
+    # scatter is far off the HBM roofline, at ~1e-6 reduction reordering).
+    scatter_method: str = "segment"
 
 
 def reference_bcs() -> tuple[BCSpec, ...]:
@@ -152,4 +156,5 @@ def load_config(path: str) -> SolverConfig:
         save_every=d.get("save_every", 10),
         freeze_phi_temperature=d.get("freeze_phi_temperature", True),
         assembly_chunk=d.get("assembly_chunk"),
+        scatter_method=d.get("scatter_method", "segment"),
     )

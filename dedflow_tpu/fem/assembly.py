@@ -52,13 +52,20 @@ class FEMContext:
     mat_targets: jnp.ndarray  # (ne*16,) int32, non-decreasing
     # raw per-element nnz targets (chunked assembly path)
     elem_nnz: jnp.ndarray  # (ne, 16) int32
-    # BSR topology
+    # BSR topology (CSR view: generic scalar-block matrices, e.g. heat)
     col_ind: jnp.ndarray  # (nnz,)
     row_ids: jnp.ndarray  # (nnz,)
     diag_idx: jnp.ndarray  # (N,)
+    # ELL view (NS field-split matrix; sparse.fsbsr)
+    ell_col: jnp.ndarray  # (N, PR) int32, pad slots = own row
+    diag_slot: jnp.ndarray  # (N,) int32
+    elem_ell: jnp.ndarray  # (ne, 16) int32 ELL position of each pair
+    mat_targets_ell: jnp.ndarray  # (ne*16,) non-decreasing ELL targets
+    mat_off_ell: jnp.ndarray  # (N*PR+1,) update offsets per ELL slot
     num_node: int = field(metadata=dict(static=True))
     num_elem: int = field(metadata=dict(static=True))
     nnz: int = field(metadata=dict(static=True))
+    ell_width: int = field(metadata=dict(static=True))
 
 
 def build_context(
@@ -92,9 +99,27 @@ def build_context(
     geom = tet_geometry(xg[ien])
     node_perm_np, node_targets_np = _sorted_plan(ien_np.ravel())
     mat_perm_np, mat_targets_np = scatter_permutation(elem_nnz_np)
+
+    # ELL view + prefix-scan scatter plan
+    ell_col_np, nnz_to_ell_np, _ = sparsity.ell_tables()
+    pr = sparsity.max_row
+    n = sparsity.num_node
+    diag_slot_np = (nnz_to_ell_np[sparsity.diag_idx] % pr).astype(np.int32)
+    elem_ell_np = nnz_to_ell_np[elem_nnz_np].astype(np.int64)
+    mat_targets_ell_np = nnz_to_ell_np[mat_targets_np]  # still non-decreasing
+    counts = np.bincount(mat_targets_ell_np, minlength=n * pr)
+    off = np.zeros(n * pr + 1, dtype=np.int64)
+    np.cumsum(counts, out=off[1:])
+
     return FEMContext(
         ien=ien,
         elem_nnz=jnp.asarray(elem_nnz_np),
+        ell_col=jnp.asarray(ell_col_np),
+        diag_slot=jnp.asarray(diag_slot_np),
+        elem_ell=jnp.asarray(elem_ell_np.astype(np.int32).reshape(-1, 16)),
+        mat_targets_ell=jnp.asarray(mat_targets_ell_np.astype(np.int32)),
+        mat_off_ell=jnp.asarray(off.astype(np.int32)),
+        ell_width=pr,
         xg=xg,
         shgrad=geom.shgrad,
         det_j=geom.det_j,
@@ -156,6 +181,41 @@ def scatter_matrix(ctx: FEMContext, elem_j: jnp.ndarray) -> jnp.ndarray:
         indices_are_sorted=True,
     )
     return out.reshape(ctx.nnz, br, bc)
+
+
+def scatter_matrix_packed(
+    ctx: FEMContext, upd: jnp.ndarray, method: str = "segment"
+) -> jnp.ndarray:
+    """(ne*16, 18) packed element updates -> (N, PR, 18) ELL data.
+
+    method="segment": sorted segment-sum (exact pairwise order; the CPU
+    oracle and the sharded path).
+    method="prefix": permute -> cumsum -> boundary difference. XLA TPU
+    scatter runs ~100x off the HBM roofline (measured), while cumsum is a
+    dense pairwise scan; this path is ~4x faster on TPU at the cost of a
+    ~1e-6-relative reduction reordering (the scan is a balanced tree, so
+    the error does not grow linearly with mesh size).
+    """
+    n, pr = ctx.num_node, ctx.ell_width
+    upd_sorted = upd[ctx.mat_perm]  # (M, 18) in ELL-target order
+    if method == "prefix":
+        cs = jnp.cumsum(upd_sorted, axis=0)
+        cs0 = jnp.concatenate([jnp.zeros((1, upd.shape[1]), upd.dtype), cs])
+        out = cs0[ctx.mat_off_ell[1:]] - cs0[ctx.mat_off_ell[:-1]]
+    else:
+        out = jax.ops.segment_sum(
+            upd_sorted,
+            ctx.mat_targets_ell,
+            num_segments=n * pr,
+            indices_are_sorted=True,
+        )
+    return out.reshape(n, pr, upd.shape[1])
+
+
+def fsbsr_from_data(ctx: FEMContext, data: jnp.ndarray):
+    from dedflow_tpu.sparse.fsbsr import FSBSRMatrix
+
+    return FSBSRMatrix(data=data, ell_col=ctx.ell_col, diag_slot=ctx.diag_slot)
 
 
 class ElemGeom(NamedTuple):

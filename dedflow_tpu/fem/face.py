@@ -47,6 +47,7 @@ class FaceContext:
     node_targets: jnp.ndarray  # (nf*4,)
     mat_perm: jnp.ndarray  # (nf*16,)
     mat_targets: jnp.ndarray  # (nf*16,)
+    mat_targets_ell: jnp.ndarray  # (nf*16,) ELL positions, non-decreasing
     num_facet: int = field(metadata=dict(static=True))
 
 
@@ -65,6 +66,8 @@ def build_face_context(
     node_perm = np.argsort(node_t, kind="stable").astype(np.int32)
     mat_t = np.asarray(sparsity.elem_nnz)[np.asarray(b.f2e)].ravel()
     mat_perm = np.argsort(mat_t, kind="stable").astype(np.int32)
+    _, nnz_to_ell, _ = sparsity.ell_tables()
+    mat_t_ell = nnz_to_ell[mat_t[mat_perm]].astype(np.int32)
     return FaceContext(
         f2e=f2e,
         forn=forn,
@@ -77,6 +80,7 @@ def build_face_context(
         node_targets=jnp.asarray(node_t[node_perm].astype(np.int32)),
         mat_perm=jnp.asarray(mat_perm),
         mat_targets=jnp.asarray(mat_t[mat_perm].astype(np.int32)),
+        mat_targets_ell=jnp.asarray(mat_t_ell),
         num_facet=b.num_facet,
     )
 
@@ -184,6 +188,36 @@ def face_lhs_elements(
     j = j.at[..., :3, 3].set(j_up)
     j = j.at[..., 3, :3].set(j_pu)
     return j
+
+
+def face_lhs_packed(
+    fctx: FaceContext,
+    w_alpha: jnp.ndarray,
+    dw_alpha: jnp.ndarray,
+    phys: Physics,
+    scheme: TimeScheme,
+) -> jnp.ndarray:
+    """(nf*16, 18) packed facet Jacobian contributions (facet terms only
+    touch the uu/up/pu slots; sparse.fsbsr component order)."""
+    from dedflow_tpu.sparse.fsbsr import COMP_SLOTS
+
+    ej = face_lhs_elements(fctx, w_alpha, dw_alpha, phys, scheme)
+    flat = ej.reshape(fctx.num_facet * 16, 6, 6)
+    return jnp.stack([flat[:, bi, bj] for _, bi, bj in COMP_SLOTS], axis=-1)
+
+
+def scatter_face_matrix_packed(
+    fctx: FaceContext, upd: jnp.ndarray, num_node: int, ell_width: int
+) -> jnp.ndarray:
+    """(nf*16, 18) packed updates -> (N, PR, 18) ELL data."""
+    upd_sorted = upd[fctx.mat_perm]
+    out = jax.ops.segment_sum(
+        upd_sorted,
+        fctx.mat_targets_ell,
+        num_segments=num_node * ell_width,
+        indices_are_sorted=True,
+    )
+    return out.reshape(num_node, ell_width, upd.shape[1])
 
 
 def scatter_face_residual(

@@ -17,15 +17,19 @@ from dedflow_tpu.fem import dirichlet, weakform
 from dedflow_tpu.fem.assembly import (
     FEMContext,
     bsr_from_data,
+    fsbsr_from_data,
     scatter_matrix,
+    scatter_matrix_packed,
     scatter_residual,
     slice_elems,
 )
 from dedflow_tpu.fem.face import (
     FaceContext,
     face_lhs_elements,
+    face_lhs_packed,
     face_residual_elements,
     scatter_face_matrix,
+    scatter_face_matrix_packed,
     scatter_face_residual,
 )
 from dedflow_tpu.sparse.bsr import BSRMatrix
@@ -71,19 +75,22 @@ def _chunked_residual(ctx, w_alpha, dw_alpha, phys, scheme, chunk: int):
 
 
 def _chunked_jacobian_data(ctx, w_alpha, dw_alpha, phys, scheme, chunk: int):
-    """Streaming volume Jacobian into flat (nnz, 36) BSR data."""
+    """Streaming volume Jacobian into packed (N, PR, 18) ELL data."""
     num_chunks = ctx.num_elem // chunk
+    n, pr = ctx.num_node, ctx.ell_width
 
     def body(carry, k):
-        ien_c, geom, tgt = slice_elems(ctx, k * chunk, chunk)
+        lo = k * chunk
+        ien_c, geom, _ = slice_elems(ctx, lo, chunk)
+        tgt = jax.lax.dynamic_slice_in_dim(ctx.elem_ell, lo, chunk)
         ef = weakform.gather_fields(ien_c, w_alpha, dw_alpha)
-        ej = weakform.ns_lhs_elements(geom, ef, phys, scheme)
-        carry = carry.at[tgt.reshape(-1)].add(ej.reshape(chunk * 16, 36))
+        upd = weakform.ns_lhs_packed(geom, ef, phys, scheme)  # (chunk*16, 18)
+        carry = carry.at[tgt.reshape(-1)].add(upd)
         return carry, None
 
-    init = jnp.zeros((ctx.nnz, 36), dtype=w_alpha.dtype)
+    init = jnp.zeros((n * pr, 18), dtype=w_alpha.dtype)
     out, _ = jax.lax.scan(body, init, jnp.arange(num_chunks))
-    return out.reshape(ctx.nnz, 6, 6)
+    return out.reshape(n, pr, 18)
 
 
 def assemble_residual(
@@ -125,20 +132,26 @@ def assemble_jacobian(
     phys: Physics,
     scheme: TimeScheme,
     chunk: int | None = None,
-) -> BSRMatrix:
-    """Global 6x6-block BSR Jacobian."""
+    scatter_method: str = "segment",
+):
+    """Global field-split Jacobian as a packed component-major FSBSRMatrix
+    in ELL row layout (sparse.fsbsr; the TPU-layout-safe equivalent of the
+    reference's MatrixFS grid, matrix.h:93-103)."""
     if chunk:
         data = _chunked_jacobian_data(ctx, w_alpha, dw_alpha, phys, scheme, chunk)
     else:
         ef = weakform.gather_fields(ctx.ien, w_alpha, dw_alpha)
-        data = scatter_matrix(ctx, weakform.ns_lhs_elements(ctx, ef, phys, scheme))
-    for fctx in face_ctxs:
-        data = data + scatter_face_matrix(
-            fctx,
-            face_lhs_elements(fctx, w_alpha, dw_alpha, phys, scheme),
-            ctx.nnz,
+        data = scatter_matrix_packed(
+            ctx, weakform.ns_lhs_packed(ctx, ef, phys, scheme), scatter_method
         )
-    return dirichlet.apply_mat(mask, bsr_from_data(ctx, data))
+    for fctx in face_ctxs:
+        data = data + scatter_face_matrix_packed(
+            fctx,
+            face_lhs_packed(fctx, w_alpha, dw_alpha, phys, scheme),
+            ctx.num_node,
+            ctx.ell_width,
+        )
+    return dirichlet.apply_mat(mask, fsbsr_from_data(ctx, data))
 
 
 def field_norms(f: jnp.ndarray) -> jnp.ndarray:

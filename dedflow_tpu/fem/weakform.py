@@ -187,6 +187,90 @@ def ns_residual_elements(
     return f * det_j[:, None, None]
 
 
+def ns_lhs_packed(
+    ctx: FEMContext,
+    ef: ElementFields,
+    phys: Physics,
+    scheme: TimeScheme,
+) -> jnp.ndarray:
+    """(ne*16, 18) packed element Jacobians.
+
+    Same formulas as ns_lhs_elements (AssembleWeakFormLHSKernel,
+    assemble.cu:495-759) but emitted as the 18 structurally-nonzero
+    components of the 6x6 block (sparse.fsbsr component order), with
+    every intermediate kept <= (ne, 4, 4): no trailing (6, 6) dims, so
+    TPU tile layouts stay compact (see fsbsr module docstring).
+    """
+    dtype = ef.u.dtype
+    shl, gw = _tables(dtype)
+    rho, mu = phys.rho, phys.mu
+    f1 = scheme.fact_dw
+    f2 = scheme.fact_w
+    dt = scheme.dt
+    shgrad, det_j, metric = ctx.shgrad, ctx.det_j, ctx.metric
+    ne = shgrad.shape[0]
+
+    u_q = jnp.einsum("qa,eai->eqi", shl, ef.u)
+    shconv = jnp.einsum("eqi,eai->eqa", u_q, shgrad)  # (ne, q, a)
+    adv2 = jnp.sum(shconv[..., 1:] ** 2, axis=-1)
+    gg = jnp.einsum("eij,eij->e", metric, metric)[:, None]
+    tr = jnp.einsum("eii->e", metric)[:, None]
+    knu = mu / rho
+    tau0 = jax_rsqrt(4.0 / (dt * dt) + adv2 + 3.0 * knu * knu * gg) / rho
+    tr = jnp.where(tr > 0.0, tr, 1.0)
+    tau1 = jnp.sqrt(adv2 + 3.0 * knu * knu * gg) / tr
+
+    e_k = jnp.einsum("eai,ebi->eab", shgrad, shgrad)
+    gw_sum = gw.sum()  # = 1/6
+
+    # velocity diagonal scalar block (assemble.cu:618-624)
+    tmp = (
+        f1 * rho * jnp.einsum("q,qa,qb->ab", gw, shl, shl)[None]
+        + f1 * rho * rho * jnp.einsum("q,eq,eqa,qb->eab", gw, tau0, shconv, shl)
+        + f2 * rho * jnp.einsum("q,qa,eqb->eab", gw, shl, shconv)
+        + f2 * rho * rho * jnp.einsum("q,eq,eqa,eqb->eab", gw, tau0, shconv, shconv)
+        + f2 * mu * gw_sum * e_k
+    )
+    c_grad2 = f2 * rho * jnp.einsum("q,eq->e", gw, tau1)  # (ne,)
+    tau0_sum = jnp.einsum("q,eq->e", gw, tau0)  # (ne,)
+    # pre-contracted helpers
+    gs_conv = jnp.einsum("q,eq,eqa->ea", gw, tau0, shconv)  # (ne, a)
+    gs_shl = jnp.einsum("q,eq,qa->ea", gw, tau0, shl)  # (ne, a)
+
+    dj = det_j[:, None, None]
+    valid = (det_j > 0.0).astype(dtype)
+    eye_ab = jnp.eye(4, dtype=dtype)[None] * valid[:, None, None]
+
+    comps = [None] * 18
+    g = lambda i: shgrad[..., i]  # (ne, 4)
+    for i in range(3):
+        for j in range(3):
+            c = (
+                f2 * mu * gw_sum * jnp.einsum("ea,eb->eab", g(j), g(i))
+                + c_grad2[:, None, None] * jnp.einsum("ea,eb->eab", g(i), g(j))
+            )
+            if i == j:
+                c = c + tmp
+            comps[i * 3 + j] = c * dj
+    for i in range(3):
+        # dRM/dP (assemble.cu:646-649, shared-memory sign convention)
+        up = -jnp.einsum("q,ea,qb->eab", gw, g(i), shl) + rho * jnp.einsum(
+            "ea,eb->eab", gs_conv, g(i)
+        )
+        comps[9 + i] = up * dj
+        # dRC/dU (assemble.cu:653-657)
+        pu = (
+            f1 * rho * jnp.einsum("ea,eb->eab", g(i), gs_shl)
+            + f2 * jnp.einsum("q,qa,eb->eab", gw, shl, g(i))
+            + f2 * rho * jnp.einsum("ea,eb->eab", g(i), gs_conv)
+        )
+        comps[12 + i] = pu * dj
+    comps[15] = tau0_sum[:, None, None] * e_k * dj
+    comps[16] = eye_ab
+    comps[17] = eye_ab
+    return jnp.stack([c.reshape(ne * 16) for c in comps], axis=-1)
+
+
 def ns_lhs_elements(
     ctx: FEMContext,
     ef: ElementFields,

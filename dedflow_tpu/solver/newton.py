@@ -54,14 +54,17 @@ def residual(ctx, face_ctxs, mask, wgold, dwgold, dwg, phys, scheme, freeze, chu
 
 
 def newton_iter(
-    ctx, face_ctxs, mask, wgold, dwgold, dwg, f, phys, scheme, kcfg, freeze, chunk=None
+    ctx, face_ctxs, mask, wgold, dwgold, dwg, f, phys, scheme, kcfg, freeze,
+    chunk=None, scatter_method="segment",
 ):
     """One Newton iteration (main.c:157-279 body): assemble J, solve
     GMRES(J) dx = F, update dwg, reassemble F. Returns
     (dwg, f, field_norms, krylov_iters)."""
     wa, dwa = ns.alpha_states(wgold, dwgold, dwg, scheme)
-    jmat = ns.assemble_jacobian(ctx, face_ctxs, mask, wa, dwa, phys, scheme, chunk)
-    pc = NSFieldSplitPC.from_bsr(jmat)
+    jmat = ns.assemble_jacobian(
+        ctx, face_ctxs, mask, wa, dwa, phys, scheme, chunk, scatter_method
+    )
+    pc = NSFieldSplitPC.from_matrix(jmat)
     sol = gmres(
         jmat.matvec,
         f,
@@ -107,6 +110,7 @@ def step_fixed(
     freeze,
     num_newton,
     chunk=None,
+    scatter_method="segment",
 ):
     """One full time step with a fixed Newton iteration count, suitable for
     a single jit with zero host syncs (benchmarks, sharded execution)."""
@@ -117,7 +121,7 @@ def step_fixed(
         dwg, f = carry
         dwg, f, _, _ = newton_iter(
             ctx, face_ctxs, mask, wgold, dwgold, dwg, f, phys, scheme, kcfg, freeze,
-            chunk,
+            chunk, scatter_method,
         )
         return dwg, f
 
@@ -165,7 +169,8 @@ class NSSolver:
         freeze = cfg.freeze_phi_temperature
         chunk = cfg.assembly_chunk
         static = dict(
-            phys=phys, scheme=scheme, kcfg=kcfg, freeze=freeze, chunk=chunk
+            phys=phys, scheme=scheme, kcfg=kcfg, freeze=freeze, chunk=chunk,
+            scatter_method=cfg.scatter_method,
         )
 
         self._residual = jax.jit(
@@ -199,6 +204,7 @@ class NSSolver:
                 cfg.freeze_phi_temperature,
                 num_newton,
                 cfg.assembly_chunk,
+                cfg.scatter_method,
             )
 
         return fn

@@ -82,6 +82,17 @@ class NSFieldSplitPC:
         inv_vel, _ = inv3x3(d[:, :3, :3])
         return NSFieldSplitPC(inv_vel_blocks=inv_vel, inv_p_diag=1.0 / d[:, 3, 3])
 
+    @staticmethod
+    def from_matrix(mat) -> "NSFieldSplitPC":
+        """Build from either the dense-block BSRMatrix or the packed
+        component-major FSBSRMatrix (sparse.fsbsr)."""
+        if hasattr(mat, "diag_vel_blocks"):
+            inv_vel, _ = inv3x3(mat.diag_vel_blocks())
+            return NSFieldSplitPC(
+                inv_vel_blocks=inv_vel, inv_p_diag=1.0 / mat.diag_p()
+            )
+        return NSFieldSplitPC.from_bsr(mat)
+
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         """x: (N, 6) -> (N, 6)."""
         y_vel = jnp.einsum("nij,nj->ni", self.inv_vel_blocks, x[:, :3])

@@ -38,6 +38,37 @@ class Sparsity:
     def nnz(self) -> int:
         return int(self.col_ind.shape[0])
 
+    @property
+    def max_row(self) -> int:
+        """Max nonzeros in any row (the ELL width)."""
+        return int(np.diff(self.row_ptr).max())
+
+    def ell_tables(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """ELL-padded row layout (SURVEY.md section 7, design delta 3).
+
+        Returns (ell_col (N, PR), nnz_to_ell (nnz,), ell_valid (N, PR)):
+        slot (r, p) holds the p-th nonzero of row r; padding slots point
+        at the row itself (so gathers stay in range) and are flagged
+        invalid. `nnz_to_ell` relabels CSR positions to r*PR + p - it is
+        strictly increasing, so sorted-by-CSR scatter plans stay sorted.
+        """
+        n, pr = self.num_node, self.max_row
+        lens = np.diff(self.row_ptr)
+        ell_col = np.repeat(np.arange(n, dtype=np.int64), pr).reshape(n, pr)
+        slots = np.arange(pr)[None, :]
+        valid = slots < lens[:, None]
+        pos = self.row_ptr[:-1, None] + slots
+        ell_col[valid] = self.col_ind[pos[valid]]
+        nnz_to_ell = (
+            np.repeat(np.arange(n, dtype=np.int64) * pr, lens)
+            + (np.arange(self.nnz) - np.repeat(self.row_ptr[:-1], lens))
+        )
+        return (
+            ell_col.astype(INDEX_DTYPE),
+            nnz_to_ell.astype(np.int64),
+            valid,
+        )
+
 
 def build_sparsity(ien: np.ndarray, num_node: int) -> Sparsity:
     """Build the nodal sparsity of the tet mesh and the element scatter map.
