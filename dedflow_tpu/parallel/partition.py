@@ -31,13 +31,21 @@ from dedflow_tpu.mesh.mesh import Boundary, Mesh
 from dedflow_tpu.utils.dtypes import INDEX_DTYPE
 
 
-def rcb_parts(xg: np.ndarray, num_parts: int) -> np.ndarray:
+def rcb_parts(xg: np.ndarray, num_parts: int, native: bool = True) -> np.ndarray:
     """Recursive coordinate bisection: (N, 3) coords -> (N,) part ids.
 
     Splits along the longest extent at the weighted median so part sizes
     are balanced to within one node for any `num_parts` (non-powers of two
-    split proportionally).
+    split proportionally). The C++ fast path (native/topology.cpp) is
+    used when available; this NumPy body is the oracle and fallback.
     """
+    if native:
+        from dedflow_tpu import native as _native
+
+        npart = _native.rcb(np.asarray(xg, dtype=np.float64), num_parts)
+        if npart is not None:
+            return npart
+
     n = xg.shape[0]
     part = np.zeros(n, dtype=np.int64)
 

@@ -70,14 +70,38 @@ class Sparsity:
         )
 
 
-def build_sparsity(ien: np.ndarray, num_node: int) -> Sparsity:
+def build_sparsity(ien: np.ndarray, num_node: int, native: bool = True) -> Sparsity:
     """Build the nodal sparsity of the tet mesh and the element scatter map.
 
     The flat key (row * N + col) of the unique node pairs, sorted ascending,
     *is* the CSR ordering, so the per-element nnz indices are a single
     searchsorted - no hashmaps (csr.c) and no per-scatter linear col search
     (matrix_impl.cu:103-107).
+
+    With `native` (default), the C++ fast path (native/topology.cpp) does
+    the key sort; this NumPy body is the oracle and fallback.
     """
+    if native:
+        from dedflow_tpu import native as _native
+
+        out = _native.topology(ien, num_node)
+        if out is not None:
+            row_ptr, col_ind, elem_nnz, _, _ = out
+            n = int(num_node)
+            lens = np.diff(row_ptr)
+            row_ids = np.repeat(np.arange(n, dtype=np.int64), lens)
+            # diagonal position: search the globally sorted keys
+            keys = row_ids * n + col_ind
+            diag_idx = np.searchsorted(keys, np.arange(n) * (n + 1))
+            assert (keys[diag_idx] == np.arange(n) * (n + 1)).all()
+            return Sparsity(
+                num_node=n,
+                row_ptr=row_ptr.astype(INDEX_DTYPE),
+                col_ind=col_ind.astype(INDEX_DTYPE),
+                row_ids=row_ids.astype(INDEX_DTYPE),
+                elem_nnz=elem_nnz.astype(INDEX_DTYPE),
+                diag_idx=diag_idx.astype(INDEX_DTYPE),
+            )
     ien = np.asarray(ien, dtype=np.int64)
     ne = ien.shape[0]
     n = int(num_node)
