@@ -38,6 +38,12 @@ def build_argparser() -> argparse.ArgumentParser:
         help="generate a structured box mesh",
     )
     p.add_argument("--config", help="solver config JSON (config.SolverConfig)")
+    p.add_argument(
+        "--scenario",
+        choices=["reference", "melt-pool"],
+        default="reference",
+        help="built-in scenario (reference channel flow / moving-laser DED)",
+    )
     p.add_argument("--steps", type=int, default=None, help="override num_steps")
     p.add_argument("--save-every", type=int, default=None)
     p.add_argument("--out", default=".", help="output directory")
@@ -88,6 +94,9 @@ def main(argv=None) -> int:
     import dataclasses
 
     from dedflow_tpu.app.scenarios import (
+        laser_source,
+        melt_pool_initial_state,
+        melt_pool_scenario_config,
         reference_initial_state,
         reference_scenario_config,
     )
@@ -116,7 +125,12 @@ def main(argv=None) -> int:
                  mesh.num_node, mesh.num_tet)
 
     # --- config
-    cfg = load_config(args.config) if args.config else reference_scenario_config()
+    if args.config:
+        cfg = load_config(args.config)
+    elif args.scenario == "melt-pool":
+        cfg = melt_pool_scenario_config()
+    else:
+        cfg = reference_scenario_config()
     overrides = {}
     if args.steps is not None:
         overrides["num_steps"] = args.steps
@@ -152,7 +166,12 @@ def main(argv=None) -> int:
         dwgold_np = dwg_np.copy()  # reference resumes with dwgold = dwg
         log.info("resumed from step %d", step0)
     else:
-        wg_np, dwgold_np, dwg_np = reference_initial_state(mesh)
+        init = (
+            melt_pool_initial_state
+            if args.scenario == "melt-pool"
+            else reference_initial_state
+        )
+        wg_np, dwgold_np, dwg_np = init(mesh)
         write_solution_h5(
             os.path.join(args.out, "sol.0.h5"), wg_np, dwg_np, step=0, time=0.0
         )
@@ -166,13 +185,20 @@ def main(argv=None) -> int:
     with trace(args.profile):
         for step in range(step0 + 1, step0 + cfg.num_steps + 1):
             t0 = _time.perf_counter()
+            src = None
+            if cfg.physics.laser is not None:
+                # evaluate the moving source at the generalized-alpha level
+                t_alpha = (step - 1 + cfg.time.alpha_f) * dt
+                src = to_dev(
+                    laser_source(cfg.physics.laser, mesh.xg, t_alpha)
+                )
             if args.fixed_newton:
                 wg, dwgold, dwg = solver.step_fixed(
-                    wg, dwgold, dwg, num_newton=args.fixed_newton
+                    wg, dwgold, dwg, num_newton=args.fixed_newton, source=src
                 )
                 stats = None
             else:
-                out = solver.step(wg, dwgold, dwg)
+                out = solver.step(wg, dwgold, dwg, source=src)
                 wg, dwgold, dwg = out[:3]
                 stats = out[3] if len(out) > 3 else None
             wall = _time.perf_counter() - t0
@@ -184,6 +210,14 @@ def main(argv=None) -> int:
                     rec["rnorm"] = [float(v) for v in stats.rnorms[-1]]
                 rec["krylov_iters"] = stats.krylov_iters
             metrics.write(**rec)
+            # failure detection the reference lacks (SURVEY.md section 5):
+            # a diverged/NaN state is caught at the step boundary instead
+            # of silently propagating through thousands of steps.
+            if stats is not None and stats.rnorms:
+                if not np.isfinite(stats.rnorms[-1]).all():
+                    log.error("non-finite residual at step %d; aborting", step)
+                    metrics.close()
+                    return 2
             log.info(
                 "step %d  t=%.4f  wall=%.3fs%s",
                 step,

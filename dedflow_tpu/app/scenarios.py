@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from dedflow_tpu.config import BCSpec, SolverConfig
+from dedflow_tpu.config import BCSpec, Laser, Physics, SolverConfig, TimeScheme
 from dedflow_tpu.mesh.mesh import Mesh
 
 
@@ -65,3 +65,46 @@ def reference_scenario_config(**overrides) -> SolverConfig:
 
         cfg = dataclasses.replace(cfg, **overrides)
     return cfg
+
+
+# ---------------------------------------------------------------------------
+# Moving-laser melt-pool scenario (BASELINE config #3). The reference has
+# no heat source and freezes its T equation (main.c:64); this scenario
+# activates the full thermal-fluid coupling with consistent scalar
+# tangents (config.SolverConfig.implicit_scalars).
+
+
+def laser_source(laser: Laser, xg: np.ndarray, t: float) -> np.ndarray:
+    """(N,) nodal volumetric heat source q(x, t); integrates to power."""
+    c = np.asarray(laser.start) + np.asarray(laser.velocity) * t
+    r2 = ((np.asarray(xg) - c) ** 2).sum(axis=1)
+    q0 = laser.power * (2.0 / np.pi) ** 1.5 / laser.radius**3
+    return q0 * np.exp(-2.0 * r2 / laser.radius**2)
+
+
+def melt_pool_scenario_config(**overrides) -> SolverConfig:
+    """Single-track DED: laser scanning +x across the top (z+) face of a
+    box, thermal-fluid fully active, slow time stepping."""
+    laser = Laser(
+        power=50.0, radius=0.15, velocity=(0.5, 0.0, 0.0), start=(0.1, 0.5, 1.0)
+    )
+    cfg = SolverConfig(
+        physics=Physics(laser=laser),
+        time=TimeScheme(dt=2e-2),
+        bcs=box_channel_bcs(),
+        freeze_phi_temperature=False,
+        implicit_scalars=True,
+    )
+    if overrides:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, **overrides)
+    return cfg
+
+
+def melt_pool_initial_state(mesh: Mesh):
+    """u = 0, p = 0, phi = z - 0.5 (melt interface), T = 0."""
+    n = mesh.num_node
+    wg = np.zeros((n, 6))
+    wg[:, 4] = mesh.xg[:, 2] - 0.5
+    return wg, np.zeros((n, 6)), np.zeros((n, 6))

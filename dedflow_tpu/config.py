@@ -18,6 +18,20 @@ from dataclasses import dataclass, field
 
 
 @dataclass(frozen=True)
+class Laser:
+    """Moving Gaussian heat source q(x, t) for DED melt-pool runs
+    (BASELINE config #3; the reference has no source machinery - its T
+    equation is frozen at main.c:64). The volumetric Gaussian integrates
+    to `power`: q = P (2/pi)^1.5 / r^3 exp(-2 |x - c(t)|^2 / r^2) with
+    c(t) = start + velocity * t."""
+
+    power: float = 1.0
+    radius: float = 0.1
+    velocity: tuple[float, float, float] = (1.0, 0.0, 0.0)
+    start: tuple[float, float, float] = (0.0, 0.5, 1.0)
+
+
+@dataclass(frozen=True)
 class Physics:
     """Material constants (assemble.cu:35-42)."""
 
@@ -26,6 +40,7 @@ class Physics:
     cp: float = 1.0  # kCP
     kappa: float = 0.66  # kKAPPA
     body_force: tuple[float, float, float] = (0.0, 0.0, 0.0)  # fb (gravity off)
+    laser: Laser | None = None
 
 
 @dataclass(frozen=True)
@@ -111,6 +126,10 @@ class SolverConfig:
     # "prefix" (permute+cumsum+boundary-diff; ~4x faster on TPU where XLA
     # scatter is far off the HBM roofline, at ~1e-6 reduction reordering).
     scatter_method: str = "segment"
+    # Replace the frozen-identity phi/T Jacobian blocks with consistent
+    # transport tangents (weakform.scalar_lhs_blocks). Required whenever
+    # freeze_phi_temperature=False (melt-pool/level-set runs).
+    implicit_scalars: bool = False
 
 
 def reference_bcs() -> tuple[BCSpec, ...]:
@@ -139,8 +158,21 @@ def save_config(cfg: SolverConfig, path: str) -> None:
 def load_config(path: str) -> SolverConfig:
     with open(path) as f:
         d = json.load(f)
+    phys_d = dict(d.get("physics", {}))
+    phys_d["body_force"] = tuple(phys_d.get("body_force", (0.0, 0.0, 0.0)))
+    laser_d = phys_d.get("laser")
+    phys_d["laser"] = (
+        Laser(
+            power=laser_d.get("power", 1.0),
+            radius=laser_d.get("radius", 0.1),
+            velocity=tuple(laser_d.get("velocity", (1.0, 0.0, 0.0))),
+            start=tuple(laser_d.get("start", (0.0, 0.5, 1.0))),
+        )
+        if laser_d
+        else None
+    )
     return SolverConfig(
-        physics=Physics(**{**d.get("physics", {}), "body_force": tuple(d.get("physics", {}).get("body_force", (0.0, 0.0, 0.0)))}),
+        physics=Physics(**phys_d),
         time=TimeScheme(**d.get("time", {})),
         newton=NewtonConfig(**d.get("newton", {})),
         krylov=KrylovConfig(**d.get("krylov", {})),
@@ -157,4 +189,5 @@ def load_config(path: str) -> SolverConfig:
         freeze_phi_temperature=d.get("freeze_phi_temperature", True),
         assembly_chunk=d.get("assembly_chunk"),
         scatter_method=d.get("scatter_method", "segment"),
+        implicit_scalars=d.get("implicit_scalars", False),
     )

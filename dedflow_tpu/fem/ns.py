@@ -55,7 +55,7 @@ def alpha_states(
     return wa, dwa
 
 
-def _chunked_residual(ctx, w_alpha, dw_alpha, phys, scheme, chunk: int):
+def _chunked_residual(ctx, w_alpha, dw_alpha, phys, scheme, chunk: int, source=None):
     """Streaming volume residual: lax.scan over element chunks so no
     whole-mesh element temp ever materializes (the XLA analogue of the
     reference's per-color-batch loop, assemble.cu:1559 - but deterministic
@@ -65,7 +65,8 @@ def _chunked_residual(ctx, w_alpha, dw_alpha, phys, scheme, chunk: int):
     def body(carry, k):
         ien_c, geom, _ = slice_elems(ctx, k * chunk, chunk)
         ef = weakform.gather_fields(ien_c, w_alpha, dw_alpha)
-        fe = weakform.ns_residual_elements(geom, ef, phys, scheme)
+        src_e = None if source is None else source[ien_c]
+        fe = weakform.ns_residual_elements(geom, ef, phys, scheme, src_e)
         carry = carry.at[ien_c.reshape(-1)].add(fe.reshape(chunk * 4, 6))
         return carry, None
 
@@ -74,7 +75,9 @@ def _chunked_residual(ctx, w_alpha, dw_alpha, phys, scheme, chunk: int):
     return out
 
 
-def _chunked_jacobian_data(ctx, w_alpha, dw_alpha, phys, scheme, chunk: int):
+def _chunked_jacobian_data(
+    ctx, w_alpha, dw_alpha, phys, scheme, chunk: int, scalar_implicit=False
+):
     """Streaming volume Jacobian into packed (N, PR, 18) ELL data."""
     num_chunks = ctx.num_elem // chunk
     n, pr = ctx.num_node, ctx.ell_width
@@ -84,7 +87,7 @@ def _chunked_jacobian_data(ctx, w_alpha, dw_alpha, phys, scheme, chunk: int):
         ien_c, geom, _ = slice_elems(ctx, lo, chunk)
         tgt = jax.lax.dynamic_slice_in_dim(ctx.elem_ell, lo, chunk)
         ef = weakform.gather_fields(ien_c, w_alpha, dw_alpha)
-        upd = weakform.ns_lhs_packed(geom, ef, phys, scheme)  # (chunk*16, 18)
+        upd = weakform.ns_lhs_packed(geom, ef, phys, scheme, scalar_implicit)
         carry = carry.at[tgt.reshape(-1)].add(upd)
         return carry, None
 
@@ -103,14 +106,17 @@ def assemble_residual(
     scheme: TimeScheme,
     freeze_phi_temperature: bool = True,
     chunk: int | None = None,
+    source: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """Global residual F (N, 6)."""
+    """Global residual F (N, 6). `source` (N,) is a nodal volumetric heat
+    source (e.g. the moving laser, app.scenarios.laser_source)."""
     if chunk:
-        f = _chunked_residual(ctx, w_alpha, dw_alpha, phys, scheme, chunk)
+        f = _chunked_residual(ctx, w_alpha, dw_alpha, phys, scheme, chunk, source)
     else:
         ef = weakform.gather_fields(ctx.ien, w_alpha, dw_alpha)
+        src_e = None if source is None else source[ctx.ien]
         f = scatter_residual(
-            ctx, weakform.ns_residual_elements(ctx, ef, phys, scheme)
+            ctx, weakform.ns_residual_elements(ctx, ef, phys, scheme, src_e)
         )
     for fctx in face_ctxs:
         f = f + scatter_face_residual(
@@ -133,16 +139,21 @@ def assemble_jacobian(
     scheme: TimeScheme,
     chunk: int | None = None,
     scatter_method: str = "segment",
+    scalar_implicit: bool = False,
 ):
     """Global field-split Jacobian as a packed component-major FSBSRMatrix
     in ELL row layout (sparse.fsbsr; the TPU-layout-safe equivalent of the
     reference's MatrixFS grid, matrix.h:93-103)."""
     if chunk:
-        data = _chunked_jacobian_data(ctx, w_alpha, dw_alpha, phys, scheme, chunk)
+        data = _chunked_jacobian_data(
+            ctx, w_alpha, dw_alpha, phys, scheme, chunk, scalar_implicit
+        )
     else:
         ef = weakform.gather_fields(ctx.ien, w_alpha, dw_alpha)
         data = scatter_matrix_packed(
-            ctx, weakform.ns_lhs_packed(ctx, ef, phys, scheme), scatter_method
+            ctx,
+            weakform.ns_lhs_packed(ctx, ef, phys, scheme, scalar_implicit),
+            scatter_method,
         )
     for fctx in face_ctxs:
         data = data + scatter_face_matrix_packed(

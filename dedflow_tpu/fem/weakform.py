@@ -110,8 +110,13 @@ def ns_residual_elements(
     ef: ElementFields,
     phys: Physics,
     scheme: TimeScheme,
+    src_e: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """(ne, 4, 6) element residuals (AssembleWeakFormKernel<TENSOR=1>)."""
+    """(ne, 4, 6) element residuals (AssembleWeakFormKernel<TENSOR=1>).
+
+    `src_e` (ne, 4): nodal volumetric heat source gather (moving laser,
+    BASELINE config #3); enters the T row as -int(N_a q). The reference
+    has no source machinery (its T equation is frozen, main.c:64)."""
     dtype = ef.u.dtype
     shl, gw = _tables(dtype)
     rho, mu, cp, kappa = phys.rho, phys.mu, phys.cp, phys.kappa
@@ -180,6 +185,14 @@ def ns_residual_elements(
         adv_t,
         shl[None, :, :] + rho * cp * tau_t[..., None] * shconv,
     ) + gw.sum() * jnp.einsum("ei,eai->ea", kappa * grad_t, shgrad)
+    if src_e is not None:
+        src_q = jnp.einsum("qa,ea->eq", shl, src_e)
+        f_t = f_t - jnp.einsum(
+            "q,eq,eqa->ea",
+            gw,
+            src_q,
+            shl[None, :, :] + rho * cp * tau_t[..., None] * shconv,
+        )
 
     f = jnp.concatenate(
         [f_m, f_c[..., None], f_phi[..., None], f_t[..., None]], axis=-1
@@ -187,11 +200,54 @@ def ns_residual_elements(
     return f * det_j[:, None, None]
 
 
+def scalar_lhs_blocks(
+    ctx: FEMContext,
+    ef: ElementFields,
+    phys: Physics,
+    scheme: TimeScheme,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Consistent (Picard) phi/T Jacobian blocks, each (ne, 4, 4).
+
+    The reference keeps bare identity blocks because its phi/T equations
+    are frozen (assemble.cu:757-758 + main.c:64); with the equations
+    active (melt-pool runs, BASELINE config #3) an identity LHS would be
+    a divergent Richardson iteration, so the advection-diffusion tangent
+    is assembled: d(adv)/d(dwg_b) = alpha_m N_b + fact_w u.grad(N_b),
+    SUPG-tested, + fact_w diffusion (tau derivatives dropped, matching
+    the reference's Picard-style inexactness in the velocity block).
+    """
+    dtype = ef.u.dtype
+    shl, gw = _tables(dtype)
+    rho, cp, kappa = phys.rho, phys.cp, phys.kappa
+    f1, f2, dt = scheme.fact_dw, scheme.fact_w, scheme.dt
+    shgrad, det_j, metric = ctx.shgrad, ctx.det_j, ctx.metric
+
+    u_q = jnp.einsum("qa,eai->eqi", shl, ef.u)
+    shconv = jnp.einsum("eqi,eai->eqa", u_q, shgrad)
+    # the residual's own taus (stab_tau) so that d(residual)/d(scalars)
+    # is exact - tau depends only on u, which these columns hold fixed
+    _, _, tau_phi, tau_t = stab_tau(metric, u_q, phys, dt)
+    e_k = jnp.einsum("eai,ebi->eab", shgrad, shgrad)
+    gw_sum = gw.sum()
+    dj = det_j[:, None, None]
+
+    trial = f1 * shl[None] + f2 * shconv  # (ne, q, b)
+    test_phi = shl[None] + tau_phi[..., None] * shconv
+    j_phi = jnp.einsum("q,eqa,eqb->eab", gw, test_phi, trial) * dj
+    test_t = shl[None] + rho * cp * tau_t[..., None] * shconv
+    j_t = (
+        rho * cp * jnp.einsum("q,eqa,eqb->eab", gw, test_t, trial)
+        + f2 * kappa * gw_sum * e_k
+    ) * dj
+    return j_phi, j_t
+
+
 def ns_lhs_packed(
     ctx: FEMContext,
     ef: ElementFields,
     phys: Physics,
     scheme: TimeScheme,
+    scalar_implicit: bool = False,
 ) -> jnp.ndarray:
     """(ne*16, 18) packed element Jacobians.
 
@@ -200,6 +256,9 @@ def ns_lhs_packed(
     components of the 6x6 block (sparse.fsbsr component order), with
     every intermediate kept <= (ne, 4, 4): no trailing (6, 6) dims, so
     TPU tile layouts stay compact (see fsbsr module docstring).
+
+    scalar_implicit replaces the frozen-identity phi/T blocks with the
+    consistent transport tangents (scalar_lhs_blocks).
     """
     dtype = ef.u.dtype
     shl, gw = _tables(dtype)
@@ -266,8 +325,11 @@ def ns_lhs_packed(
         )
         comps[12 + i] = pu * dj
     comps[15] = tau0_sum[:, None, None] * e_k * dj
-    comps[16] = eye_ab
-    comps[17] = eye_ab
+    if scalar_implicit:
+        comps[16], comps[17] = scalar_lhs_blocks(ctx, ef, phys, scheme)
+    else:
+        comps[16] = eye_ab
+        comps[17] = eye_ab
     return jnp.stack([c.reshape(ne * 16) for c in comps], axis=-1)
 
 
@@ -276,6 +338,7 @@ def ns_lhs_elements(
     ef: ElementFields,
     phys: Physics,
     scheme: TimeScheme,
+    scalar_implicit: bool = False,
 ) -> jnp.ndarray:
     """(ne, 4, 4, 6, 6) approximate element Jacobians
     (AssembleWeakFormLHSKernel, assemble.cu:495-759)."""
@@ -340,6 +403,11 @@ def ns_lhs_elements(
     j = j.at[..., 3, :3].set(j_pu)
     j = j.at[..., 3, 3].set(j_pp)
     j = j * det_j[:, None, None, None, None]
+    if scalar_implicit:
+        j_phi, j_t = scalar_lhs_blocks(ctx, ef, phys, scheme)
+        j = j.at[..., 4, 4].set(j_phi)
+        j = j.at[..., 5, 5].set(j_t)
+        return j
     # frozen phi/T identity blocks (assemble.cu:757-758): no detJ/gw scaling,
     # but gated off for degenerate padding elements (det_j == 0).
     eye_ab = (

@@ -136,10 +136,12 @@ class ShardedNSSolver:
         return unpermute_state(self.info, np.asarray(state))
 
     # ------------------------------------------------------------------
-    def residual(self, wgold, dwgold, dwg):
-        return self._residual(self.ctx, self.face_ctxs, self.mask, wgold, dwgold, dwg)
+    def residual(self, wgold, dwgold, dwg, source=None):
+        return self._residual(
+            self.ctx, self.face_ctxs, self.mask, wgold, dwgold, dwg, source=source
+        )
 
-    def step_fixed(self, wgold, dwgold, dwg, num_newton: int = 4):
+    def step_fixed(self, wgold, dwgold, dwg, num_newton: int = 4, source=None):
         return self._step_fixed(
             self.ctx,
             self.face_ctxs,
@@ -148,17 +150,19 @@ class ShardedNSSolver:
             dwgold,
             dwg,
             num_newton=num_newton,
+            source=source,
         )
 
-    def step(self, wgold, dwgold, dwg):
+    def step(self, wgold, dwgold, dwg, source=None):
         """Adaptive-Newton step (host convergence checks), sharded."""
         dwg = self._predict(dwg)
         ncfg = self.cfg.newton
-        f = self.residual(wgold, dwgold, dwg)
+        f = self.residual(wgold, dwgold, dwg, source)
         rnorm0 = np.asarray(self.solver._norms(f)) + 1e-16
         for _ in range(ncfg.max_iter):
             dwg, f, rn, _ = self._newton_iter(
-                self.ctx, self.face_ctxs, self.mask, wgold, dwgold, dwg, f
+                self.ctx, self.face_ctxs, self.mask, wgold, dwgold, dwg, f,
+                source=source,
             )
             rn = np.asarray(rn)
             if ((rn < ncfg.rtol * rnorm0) | (rn < ncfg.atol)).all():

@@ -46,23 +46,27 @@ from dedflow_tpu.sparse.topology import build_sparsity
 # Static (hashable) config args go last.
 
 
-def residual(ctx, face_ctxs, mask, wgold, dwgold, dwg, phys, scheme, freeze, chunk=None):
+def residual(
+    ctx, face_ctxs, mask, wgold, dwgold, dwg, phys, scheme, freeze, chunk=None,
+    source=None,
+):
     wa, dwa = ns.alpha_states(wgold, dwgold, dwg, scheme)
     return ns.assemble_residual(
-        ctx, face_ctxs, mask, wa, dwa, phys, scheme, freeze, chunk
+        ctx, face_ctxs, mask, wa, dwa, phys, scheme, freeze, chunk, source
     )
 
 
 def newton_iter(
     ctx, face_ctxs, mask, wgold, dwgold, dwg, f, phys, scheme, kcfg, freeze,
-    chunk=None, scatter_method="segment",
+    chunk=None, scatter_method="segment", scalar_implicit=False, source=None,
 ):
     """One Newton iteration (main.c:157-279 body): assemble J, solve
     GMRES(J) dx = F, update dwg, reassemble F. Returns
     (dwg, f, field_norms, krylov_iters)."""
     wa, dwa = ns.alpha_states(wgold, dwgold, dwg, scheme)
     jmat = ns.assemble_jacobian(
-        ctx, face_ctxs, mask, wa, dwa, phys, scheme, chunk, scatter_method
+        ctx, face_ctxs, mask, wa, dwa, phys, scheme, chunk, scatter_method,
+        scalar_implicit,
     )
     pc = NSFieldSplitPC.from_matrix(jmat)
     sol = gmres(
@@ -75,7 +79,8 @@ def newton_iter(
     )
     dwg = dwg - sol.x  # main.c:226
     f = residual(
-        ctx, face_ctxs, mask, wgold, dwgold, dwg, phys, scheme, freeze, chunk
+        ctx, face_ctxs, mask, wgold, dwgold, dwg, phys, scheme, freeze, chunk,
+        source,
     )
     return dwg, f, ns.field_norms(f), sol.iters
 
@@ -111,17 +116,21 @@ def step_fixed(
     num_newton,
     chunk=None,
     scatter_method="segment",
+    scalar_implicit=False,
+    source=None,
 ):
     """One full time step with a fixed Newton iteration count, suitable for
     a single jit with zero host syncs (benchmarks, sharded execution)."""
     dwg = predict(dwg, scheme)
-    f = residual(ctx, face_ctxs, mask, wgold, dwgold, dwg, phys, scheme, freeze, chunk)
+    f = residual(
+        ctx, face_ctxs, mask, wgold, dwgold, dwg, phys, scheme, freeze, chunk, source
+    )
 
     def body(_, carry):
         dwg, f = carry
         dwg, f, _, _ = newton_iter(
             ctx, face_ctxs, mask, wgold, dwgold, dwg, f, phys, scheme, kcfg, freeze,
-            chunk, scatter_method,
+            chunk, scatter_method, scalar_implicit, source,
         )
         return dwg, f
 
@@ -171,6 +180,7 @@ class NSSolver:
         static = dict(
             phys=phys, scheme=scheme, kcfg=kcfg, freeze=freeze, chunk=chunk,
             scatter_method=cfg.scatter_method,
+            scalar_implicit=cfg.implicit_scalars,
         )
 
         self._residual = jax.jit(
@@ -211,17 +221,21 @@ class NSSolver:
 
     # ------------------------------------------------------------------
     def newton_solve(
-        self, wgold: jnp.ndarray, dwgold: jnp.ndarray, dwg: jnp.ndarray
+        self, wgold: jnp.ndarray, dwgold: jnp.ndarray, dwg: jnp.ndarray,
+        source=None,
     ) -> tuple[jnp.ndarray, NewtonStats]:
         """Adaptive Newton loop with host-side convergence check
         (reference semantics, main.c:157-279)."""
         ncfg = self.cfg.newton
-        f = self._residual(self.ctx, self.face_ctxs, self.mask, wgold, dwgold, dwg)
+        f = self._residual(
+            self.ctx, self.face_ctxs, self.mask, wgold, dwgold, dwg, source=source
+        )
         rnorm0 = np.asarray(self._norms(f)) + 1e-16  # main.c:152-155
         stats = NewtonStats(rnorm0=rnorm0, rnorms=[], krylov_iters=[], converged=False)
         for _ in range(ncfg.max_iter):
             dwg, f, rn, kit = self._newton_iter(
-                self.ctx, self.face_ctxs, self.mask, wgold, dwgold, dwg, f
+                self.ctx, self.face_ctxs, self.mask, wgold, dwgold, dwg, f,
+                source=source,
             )
             rn = np.asarray(rn)
             stats.rnorms.append(rn)
@@ -232,17 +246,18 @@ class NSSolver:
         return dwg, stats
 
     def step(
-        self, wgold: jnp.ndarray, dwgold: jnp.ndarray, dwg: jnp.ndarray
+        self, wgold: jnp.ndarray, dwgold: jnp.ndarray, dwg: jnp.ndarray,
+        source=None,
     ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, NewtonStats]:
         """One generalized-alpha time step (predict/newton/update)."""
         dwg = self._predict(dwg)
-        dwg, stats = self.newton_solve(wgold, dwgold, dwg)
+        dwg, stats = self.newton_solve(wgold, dwgold, dwg, source)
         wgold, dwgold = self._update(wgold, dwgold, dwg)
         return wgold, dwgold, dwg, stats
 
-    def step_fixed(self, wgold, dwgold, dwg, num_newton: int = 4):
+    def step_fixed(self, wgold, dwgold, dwg, num_newton: int = 4, source=None):
         """Fully-jitted step with a fixed Newton iteration count."""
         return self._step_fixed(
             self.ctx, self.face_ctxs, self.mask, wgold, dwgold, dwg,
-            num_newton=num_newton,
+            num_newton=num_newton, source=source,
         )

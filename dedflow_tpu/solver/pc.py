@@ -70,26 +70,39 @@ class BlockJacobiPC:
 @dataclass
 class NSFieldSplitPC:
     """The reference decomposition PC over (N, 6) vectors
-    (krylov.c:440-452): y_vel = invD3 @ x_vel, y_p = x_p / d_p,
-    y_phi = x_phi, y_T = x_T."""
+    (krylov.c:440-452): y_vel = invD3 @ x_vel, y_p = x_p / d_p, plus
+    Jacobi on phi/T - which degenerates to the reference's identity
+    sections exactly when the phi/T blocks are the frozen identities."""
 
     inv_vel_blocks: jnp.ndarray  # (N, 3, 3)
     inv_p_diag: jnp.ndarray  # (N,)
+    inv_phi_diag: jnp.ndarray  # (N,)
+    inv_t_diag: jnp.ndarray  # (N,)
 
     @staticmethod
     def from_bsr(mat: BSRMatrix) -> "NSFieldSplitPC":
         d = mat.diag_blocks()  # (N, 6, 6)
         inv_vel, _ = inv3x3(d[:, :3, :3])
-        return NSFieldSplitPC(inv_vel_blocks=inv_vel, inv_p_diag=1.0 / d[:, 3, 3])
+        return NSFieldSplitPC(
+            inv_vel_blocks=inv_vel,
+            inv_p_diag=1.0 / d[:, 3, 3],
+            inv_phi_diag=1.0 / d[:, 4, 4],
+            inv_t_diag=1.0 / d[:, 5, 5],
+        )
 
     @staticmethod
     def from_matrix(mat) -> "NSFieldSplitPC":
         """Build from either the dense-block BSRMatrix or the packed
         component-major FSBSRMatrix (sparse.fsbsr)."""
         if hasattr(mat, "diag_vel_blocks"):
+            from dedflow_tpu.sparse.fsbsr import PHIPHI, TT
+
             inv_vel, _ = inv3x3(mat.diag_vel_blocks())
             return NSFieldSplitPC(
-                inv_vel_blocks=inv_vel, inv_p_diag=1.0 / mat.diag_p()
+                inv_vel_blocks=inv_vel,
+                inv_p_diag=1.0 / mat.diag_p(),
+                inv_phi_diag=1.0 / mat._diag(PHIPHI),
+                inv_t_diag=1.0 / mat._diag(TT),
             )
         return NSFieldSplitPC.from_bsr(mat)
 
@@ -97,4 +110,8 @@ class NSFieldSplitPC:
         """x: (N, 6) -> (N, 6)."""
         y_vel = jnp.einsum("nij,nj->ni", self.inv_vel_blocks, x[:, :3])
         y_p = x[:, 3] * self.inv_p_diag
-        return jnp.concatenate([y_vel, y_p[:, None], x[:, 4:]], axis=1)
+        y_phi = x[:, 4] * self.inv_phi_diag
+        y_t = x[:, 5] * self.inv_t_diag
+        return jnp.concatenate(
+            [y_vel, y_p[:, None], y_phi[:, None], y_t[:, None]], axis=1
+        )

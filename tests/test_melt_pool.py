@@ -1,0 +1,96 @@
+"""Moving-laser melt-pool capability (BASELINE config #3).
+
+- consistent scalar (phi/T) Jacobian blocks == finite differences of the
+  residual (exact up to FD error: tau holds u fixed, so these columns are
+  true derivatives, unlike the Picard velocity block),
+- heat source deposits energy: T rises under the beam; Newton converges
+  with the active (unfrozen) thermal-fluid system.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from dedflow_tpu.app.scenarios import (
+    laser_source,
+    melt_pool_initial_state,
+    melt_pool_scenario_config,
+)
+from dedflow_tpu.fem import ns, weakform
+from dedflow_tpu.mesh.gen import box_mesh
+from dedflow_tpu.solver.newton import NSSolver
+
+
+def test_scalar_jacobian_matches_finite_difference():
+    mesh = box_mesh(2, 2, 2)
+    cfg = melt_pool_scenario_config()
+    solver = NSSolver(mesh, cfg)
+    rng = np.random.default_rng(0)
+    n = mesh.num_node
+    wg = jnp.asarray(rng.normal(size=(n, 6)) * 0.2)
+    dwgold = jnp.asarray(rng.normal(size=(n, 6)) * 0.1)
+    dwg = jnp.asarray(rng.normal(size=(n, 6)) * 0.1)
+    phys, scheme = cfg.physics, cfg.time
+
+    def resid(dwg_flat):
+        dwg_ = dwg_flat.reshape(n, 6)
+        wa, dwa = ns.alpha_states(wg, dwgold, dwg_, scheme)
+        # volume only, no BC masking: test the raw element tangents
+        ef = weakform.gather_fields(solver.ctx.ien, wa, dwa)
+        from dedflow_tpu.fem.assembly import scatter_residual
+
+        return scatter_residual(
+            solver.ctx, weakform.ns_residual_elements(solver.ctx, ef, phys, scheme)
+        ).reshape(-1)
+
+    wa, dwa = ns.alpha_states(wg, dwgold, dwg, scheme)
+    ef = weakform.gather_fields(solver.ctx.ien, wa, dwa)
+    from dedflow_tpu.fem.assembly import fsbsr_from_data, scatter_matrix_packed
+
+    jmat = fsbsr_from_data(
+        solver.ctx,
+        scatter_matrix_packed(
+            solver.ctx,
+            weakform.ns_lhs_packed(solver.ctx, ef, phys, scheme, True),
+        ),
+    )
+
+    f0 = np.asarray(resid(dwg.reshape(-1)))
+    eps = 1e-6
+    for node in [0, n // 2, n - 1]:
+        for comp in (4, 5):  # phi, T columns
+            pert = jnp.zeros(n * 6).at[node * 6 + comp].set(eps)
+            fd = (np.asarray(resid(dwg.reshape(-1) + pert)) - f0) / eps
+            e = jnp.zeros((n, 6)).at[node, comp].set(1.0)
+            jv = np.asarray(jmat.matvec(e)).reshape(-1)
+            # compare only the phi/T equation rows (the velocity rows'
+            # coupling to scalars is structurally absent in the reference
+            # weak form, and FD confirms it: those entries are ~0)
+            rows = np.arange(n * 6).reshape(n, 6)[:, 4:].reshape(-1)
+            np.testing.assert_allclose(
+                jv[rows], fd[rows], rtol=2e-4, atol=5e-7
+            )
+
+
+def test_laser_run_heats_locally():
+    mesh = box_mesh(6, 3, 3)
+    cfg = melt_pool_scenario_config(num_steps=3)
+    solver = NSSolver(mesh, cfg)
+    wg, dwgold, dwg = (jnp.asarray(x) for x in melt_pool_initial_state(mesh))
+    laser = cfg.physics.laser
+    for step in range(1, 4):
+        t_alpha = (step - 1 + cfg.time.alpha_f) * cfg.time.dt
+        src = jnp.asarray(laser_source(laser, mesh.xg, t_alpha))
+        wg, dwgold, dwg, stats = solver.step(wg, dwgold, dwg, source=src)
+        assert np.isfinite(np.asarray(wg)).all()
+    temp = np.asarray(wg[:, 5])
+    assert temp.max() > 1e-6, "laser deposited no heat"
+    # hottest node is near the beam path (top face, early x)
+    hot = mesh.xg[int(np.argmax(temp))]
+    c0 = np.asarray(laser.start) + np.asarray(laser.velocity) * 3 * cfg.time.dt / 2
+    assert np.linalg.norm(hot - c0) < 3 * laser.radius, (hot, c0)
+    # energy deposited is positive and bounded by power * time
+    # (rough check through the mass-lumped integral of rho cp T)
+    phys = cfg.physics
+    vol = 1.0 / mesh.num_node  # unit box, roughly uniform nodes
+    energy = (phys.rho * phys.cp * temp * vol).sum()
+    assert 0 < energy < laser.power * 3 * cfg.time.dt * 10
