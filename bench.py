@@ -108,6 +108,9 @@ def main() -> None:
         cfg,
         assembly_chunk=chunk_env or None,
         scatter_method=os.environ.get("DEDFLOW_BENCH_SCATTER", "prefix"),
+        elements_kernel=os.environ.get(
+            "DEDFLOW_BENCH_EKERNEL", "pallas" if platform == "tpu" else "xla"
+        ),
     )
     solver = NSSolver(mesh, cfg, dtype=dtype)
     wg, dwgold, dwg = reference_initial_state(mesh)
@@ -131,7 +134,8 @@ def main() -> None:
     def jac(ctx, face_ctxs, mask, wg, dwgold, dwg):
         wa, dwa = ns.alpha_states(wg, dwgold, dwg, scheme)
         return ns.assemble_jacobian(
-            ctx, face_ctxs, mask, wa, dwa, phys, scheme, chunk, method
+            ctx, face_ctxs, mask, wa, dwa, phys, scheme, chunk, method,
+            False, cfg.elements_kernel,
         ).data
 
     n_spmv = 10

@@ -130,6 +130,9 @@ class SolverConfig:
     # transport tangents (weakform.scalar_lhs_blocks). Required whenever
     # freeze_phi_temperature=False (melt-pool/level-set runs).
     implicit_scalars: bool = False
+    # "xla" or "pallas": the fused single-pass TPU element-Jacobian kernel
+    # (fem.pallas_kernels; frozen-scalar mode only, else falls back).
+    elements_kernel: str = "xla"
 
 
 def reference_bcs() -> tuple[BCSpec, ...]:
@@ -190,4 +193,5 @@ def load_config(path: str) -> SolverConfig:
         assembly_chunk=d.get("assembly_chunk"),
         scatter_method=d.get("scatter_method", "segment"),
         implicit_scalars=d.get("implicit_scalars", False),
+        elements_kernel=d.get("elements_kernel", "xla"),
     )

@@ -59,6 +59,9 @@ class FEMContext:
     # ELL view (NS field-split matrix; sparse.fsbsr)
     ell_col: jnp.ndarray  # (N, PR) int32, pad slots = own row
     diag_slot: jnp.ndarray  # (N,) int32
+    # transposed inputs for the fused Pallas element kernel
+    ien_t: jnp.ndarray  # (4, ne) int32
+    lhs_geom: jnp.ndarray  # (15, ne) pallas_kernels.lhs_geom_rows
     elem_ell: jnp.ndarray  # (ne, 16) int32 ELL position of each pair
     mat_targets_ell: jnp.ndarray  # (ne*16,) non-decreasing ELL targets
     mat_off_ell: jnp.ndarray  # (N*PR+1,) update offsets per ELL slot
@@ -111,8 +114,12 @@ def build_context(
     off = np.zeros(n * pr + 1, dtype=np.int64)
     np.cumsum(counts, out=off[1:])
 
+    from dedflow_tpu.fem.pallas_kernels import lhs_geom_rows
+
     return FEMContext(
         ien=ien,
+        ien_t=jnp.asarray(ien_np.T.copy()),
+        lhs_geom=lhs_geom_rows(geom.shgrad, geom.det_j, geom.metric),
         elem_nnz=jnp.asarray(elem_nnz_np),
         ell_col=jnp.asarray(ell_col_np),
         diag_slot=jnp.asarray(diag_slot_np),

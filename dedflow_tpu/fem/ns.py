@@ -140,14 +140,26 @@ def assemble_jacobian(
     chunk: int | None = None,
     scatter_method: str = "segment",
     scalar_implicit: bool = False,
+    elements_kernel: str = "xla",
 ):
     """Global field-split Jacobian as a packed component-major FSBSRMatrix
     in ELL row layout (sparse.fsbsr; the TPU-layout-safe equivalent of the
-    reference's MatrixFS grid, matrix.h:93-103)."""
+    reference's MatrixFS grid, matrix.h:93-103).
+
+    elements_kernel="pallas" uses the fused single-pass TPU element kernel
+    (fem.pallas_kernels); it supports the frozen-scalar mode only and
+    falls back to XLA otherwise."""
     if chunk:
         data = _chunked_jacobian_data(
             ctx, w_alpha, dw_alpha, phys, scheme, chunk, scalar_implicit
         )
+    elif elements_kernel == "pallas" and not scalar_implicit:
+        from dedflow_tpu.fem.pallas_kernels import ns_lhs_packed_pallas
+
+        upd = ns_lhs_packed_pallas(
+            ctx.lhs_geom, ctx.ien_t, w_alpha, phys, scheme
+        ).astype(w_alpha.dtype)
+        data = scatter_matrix_packed(ctx, upd, scatter_method)
     else:
         ef = weakform.gather_fields(ctx.ien, w_alpha, dw_alpha)
         data = scatter_matrix_packed(

@@ -1,0 +1,227 @@
+"""Pallas TPU kernels for the hot assembly path.
+
+`ns_lhs_packed_pallas` fuses the whole VMS Navier-Stokes element Jacobian
+(weakform.ns_lhs_packed; reference AssembleWeakFormLHSKernel,
+assemble.cu:495-759) into ONE pass: the XLA version lowers to ~30
+separate einsum fusions, each re-materializing (ne, 4, 4) temps in HBM,
+while this kernel streams 27 floats per element in and 288 out with every
+intermediate held in VMEM.
+
+Data layout (the TPU part of the design):
+- element axis on lanes: every intermediate is a (rows, E) tile with
+  E = 512 elements per grid step;
+- node-pair quantities are (16, E) - the pair index s = a*4 + b lives on
+  sublanes at full occupancy; per-node (4, E) quantities broadcast to
+  pairs with sublane repeat (a-indexed) / tile (b-indexed);
+- the 4-point quadrature loop is unrolled in Python, with the shape
+  tables folded in as scalar constants.
+
+Input  (27, ne): rows [0:12) shgrad (i*4 + a), [12:24) nodal velocity
+                 (i*4 + a), 24 det_j, 25 gg = |G|^2, 26 tr(G).
+Output (ne, 288): element e's 16 pairs x 18 packed components,
+                 byte-identical to the (ne*16, 18) update layout that the
+                 scatter plans consume (sparse.fsbsr component order).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dedflow_tpu.config import Physics, TimeScheme
+from dedflow_tpu.fem import quadrature as quad
+
+_E = 512  # elements per grid step
+
+_SHL = np.asarray(quad.SHL, dtype=np.float64)  # (q, a)
+_GW = np.asarray(quad.GW, dtype=np.float64)  # (q,)
+_GWSUM = float(_GW.sum())
+_MASS = np.einsum("q,qa,qb->ab", _GW, _SHL, _SHL)  # (4, 4)
+_GWSHL = np.einsum("q,qa->a", _GW, _SHL)  # (4,)
+
+
+# Pallas kernels may not capture array constants; the small shape-table
+# constants are rebuilt inside the kernel from iota selections (unrolled
+# at trace time into scalar selects).
+
+
+def _pair_const(fn) -> jnp.ndarray:
+    """(16, 1) f32 with value fn(a, b) at sublane a*4+b, from iota."""
+    s = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
+    a, b = s // 4, s % 4
+    out = jnp.zeros((16, 1), jnp.float32)
+    for ai in range(4):
+        for bi in range(4):
+            out = out + jnp.where(
+                (a == ai) & (b == bi), jnp.float32(fn(ai, bi)), 0.0
+            )
+    return out
+
+
+def _node_const(vals) -> jnp.ndarray:
+    """(4, 1) f32 with vals[a] at sublane a, from iota."""
+    a = jax.lax.broadcasted_iota(jnp.int32, (4, 1), 0)
+    out = jnp.zeros((4, 1), jnp.float32)
+    for ai in range(4):
+        out = out + jnp.where(a == ai, jnp.float32(vals[ai]), 0.0)
+    return out
+
+
+def _rep_a(x):
+    """(4, E) a-indexed -> (16, E) at sublane a*4+b."""
+    e = x.shape[-1]
+    return jnp.broadcast_to(x[:, None, :], (4, 4, e)).reshape(16, e)
+
+
+def _rep_b(x):
+    """(4, E) b-indexed -> (16, E) at sublane a*4+b."""
+    e = x.shape[-1]
+    return jnp.broadcast_to(x[None, :, :], (4, 4, e)).reshape(16, e)
+
+
+def _lhs_kernel(inp_ref, out_ref, *, rho, mu, f1, f2, dt):
+    f32 = jnp.float32
+    sh = [inp_ref[4 * i : 4 * (i + 1), :] for i in range(3)]  # i -> (4, E)
+    u = [inp_ref[12 + 4 * i : 12 + 4 * (i + 1), :] for i in range(3)]
+    det = inp_ref[24:25, :]  # (1, E)
+    gg = inp_ref[25:26, :]
+    tr = inp_ref[26:27, :]
+
+    knu = mu / rho
+    visc2 = 3.0 * knu * knu
+    tr_safe = jnp.where(tr > 0.0, tr, 1.0)
+
+    mass16 = _pair_const(lambda a, b: _MASS[a, b])
+
+    # quadrature accumulation (unrolled; shconv[q] is (4, E))
+    tmp = jnp.broadcast_to(f1 * rho * mass16, (16, det.shape[1])).astype(f32)
+    gs_conv = jnp.zeros_like(sh[0])  # (4, E)
+    gs_shl = jnp.zeros_like(sh[0])
+    tau0_sum = jnp.zeros_like(det)  # (1, E)
+    c_grad2 = jnp.zeros_like(det)
+    for q in range(4):
+        uq = [None] * 3
+        for i in range(3):
+            # scalar-weighted sum of the 4 nodal rows: (1, E)
+            uq[i] = sum(
+                float(_SHL[q][a]) * u[i][a : a + 1, :] for a in range(4)
+            )
+        shconv = uq[0] * sh[0] + uq[1] * sh[1] + uq[2] * sh[2]  # (4, E)
+        adv2 = jnp.sum(shconv[1:4, :] ** 2, axis=0, keepdims=True)  # (1, E)
+        tau0 = jax.lax.rsqrt(4.0 / (dt * dt) + adv2 + visc2 * gg) / rho
+        tau1 = jnp.sqrt(adv2 + visc2 * gg) / tr_safe
+        gwq = float(_GW[q])
+        shl_b = _node_const(_SHL[q])  # (4, 1)
+        conv_a = _rep_a(shconv)
+        conv_b = _rep_b(shconv)
+        shl16_a = _pair_const(lambda a, b: _SHL[q][a])
+        shl16_b = _pair_const(lambda a, b: _SHL[q][b])
+        tmp = tmp + (
+            (f1 * rho * rho * gwq) * tau0 * conv_a * shl16_b
+            + (f2 * rho * gwq) * shl16_a * conv_b
+            + (f2 * rho * rho * gwq) * tau0 * conv_a * conv_b
+        )
+        gs_conv = gs_conv + (gwq) * tau0 * shconv
+        gs_shl = gs_shl + gwq * tau0 * shl_b
+        tau0_sum = tau0_sum + gwq * tau0
+        c_grad2 = c_grad2 + (f2 * rho * gwq) * tau1
+
+    sh_a = [_rep_a(sh[i]) for i in range(3)]  # (16, E)
+    sh_b = [_rep_b(sh[i]) for i in range(3)]
+    e_k = sh_a[0] * sh_b[0] + sh_a[1] * sh_b[1] + sh_a[2] * sh_b[2]
+    tmp = tmp + (f2 * mu * _GWSUM) * e_k
+    gsconv_a = _rep_a(gs_conv)
+    gsconv_b = _rep_b(gs_conv)
+    gsshl_b = _rep_b(gs_shl)
+    gwshl_a = _pair_const(lambda a, b: _GWSHL[a])
+    gwshl_b = _pair_const(lambda a, b: _GWSHL[b])
+    eye16 = _pair_const(lambda a, b: 1.0 if a == b else 0.0)
+
+    comps = [None] * 18
+    for i in range(3):
+        for j in range(3):
+            c = (f2 * mu * _GWSUM) * sh_a[j] * sh_b[i] + c_grad2 * sh_a[i] * sh_b[j]
+            if i == j:
+                c = c + tmp
+            comps[i * 3 + j] = c * det
+    for i in range(3):
+        comps[9 + i] = (-sh_a[i] * gwshl_b + rho * gsconv_a * sh_b[i]) * det
+        comps[12 + i] = (
+            (f1 * rho) * sh_a[i] * gsshl_b
+            + f2 * gwshl_a * sh_b[i]
+            + (f2 * rho) * sh_a[i] * gsconv_b
+        ) * det
+    comps[15] = tau0_sum * e_k * det
+    ident = eye16 * (det > 0.0).astype(f32)
+    comps[16] = jnp.broadcast_to(ident, e_k.shape)
+    comps[17] = comps[16]
+
+    stacked = jnp.stack(comps, axis=1)  # (16, 18, E)
+    # collapse the two MAJOR dims (free); the lane-major transpose to
+    # (E, 288) happens outside in XLA (Mosaic cannot shape-cast across
+    # the lane dim)
+    out_ref[:, :] = stacked.reshape(288, det.shape[1])
+
+
+def lhs_geom_rows(shgrad, det_j, metric) -> jnp.ndarray:
+    """(15, ne) static geometry rows for the LHS kernel: 12 transposed
+    shape gradients (row i*4+a), det_j, gg, tr. Precompute once per mesh
+    (fem.assembly stores it as ctx.lhs_geom)."""
+    ne = shgrad.shape[0]
+    sh_t = shgrad.transpose(2, 1, 0).reshape(12, ne)
+    gg = jnp.sum(metric * metric, axis=(1, 2))[None, :]
+    tr = jnp.trace(metric, axis1=1, axis2=2)[None, :]
+    return jnp.concatenate([sh_t, det_j[None, :], gg, tr])
+
+
+def ns_lhs_packed_pallas(
+    geom_rows: jnp.ndarray,  # (15, ne) from lhs_geom_rows
+    ien_t: jnp.ndarray,  # (4, ne) transposed connectivity
+    w_alpha: jnp.ndarray,  # (N, 6) state (velocity gathered in here)
+    phys: Physics,
+    scheme: TimeScheme,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(ne*16, 18) packed element Jacobians == weakform.ns_lhs_packed
+    (frozen-scalar mode); the fused single-pass TPU path."""
+    ne = geom_rows.shape[1]
+    f32 = jnp.float32
+    # transposed nodal-velocity gather: row i*4+a without any transpose op
+    u_t = jnp.concatenate(
+        [w_alpha[:, i].astype(f32)[ien_t] for i in range(3)]
+    )  # (12, ne)
+    inp = jnp.concatenate(
+        [geom_rows[:12].astype(f32), u_t, geom_rows[12:].astype(f32)]
+    )
+
+    ne_pad = (ne + _E - 1) // _E * _E
+    if ne_pad != ne:
+        inp = jnp.pad(inp, ((0, 0), (0, ne_pad - ne)))
+
+    kern = functools.partial(
+        _lhs_kernel,
+        rho=float(phys.rho),
+        mu=float(phys.mu),
+        f1=float(scheme.fact_dw),
+        f2=float(scheme.fact_w),
+        dt=float(scheme.dt),
+    )
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((288, ne_pad), f32),
+        grid=(ne_pad // _E,),
+        in_specs=[
+            pl.BlockSpec((27, _E), lambda k: (0, k), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec(
+            (288, _E), lambda k: (0, k), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(inp)
+    # (288, ne) -> (ne, 16, 18) -> (ne*16, 18): one XLA transpose pass
+    return out[:, :ne].reshape(16, 18, ne).transpose(2, 0, 1).reshape(ne * 16, 18)

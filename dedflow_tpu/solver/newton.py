@@ -59,6 +59,7 @@ def residual(
 def newton_iter(
     ctx, face_ctxs, mask, wgold, dwgold, dwg, f, phys, scheme, kcfg, freeze,
     chunk=None, scatter_method="segment", scalar_implicit=False, source=None,
+    elements_kernel="xla",
 ):
     """One Newton iteration (main.c:157-279 body): assemble J, solve
     GMRES(J) dx = F, update dwg, reassemble F. Returns
@@ -66,7 +67,7 @@ def newton_iter(
     wa, dwa = ns.alpha_states(wgold, dwgold, dwg, scheme)
     jmat = ns.assemble_jacobian(
         ctx, face_ctxs, mask, wa, dwa, phys, scheme, chunk, scatter_method,
-        scalar_implicit,
+        scalar_implicit, elements_kernel,
     )
     pc = NSFieldSplitPC.from_matrix(jmat)
     sol = gmres(
@@ -118,6 +119,7 @@ def step_fixed(
     scatter_method="segment",
     scalar_implicit=False,
     source=None,
+    elements_kernel="xla",
 ):
     """One full time step with a fixed Newton iteration count, suitable for
     a single jit with zero host syncs (benchmarks, sharded execution)."""
@@ -130,7 +132,7 @@ def step_fixed(
         dwg, f = carry
         dwg, f, _, _ = newton_iter(
             ctx, face_ctxs, mask, wgold, dwgold, dwg, f, phys, scheme, kcfg, freeze,
-            chunk, scatter_method, scalar_implicit, source,
+            chunk, scatter_method, scalar_implicit, source, elements_kernel,
         )
         return dwg, f
 
@@ -181,6 +183,7 @@ class NSSolver:
             phys=phys, scheme=scheme, kcfg=kcfg, freeze=freeze, chunk=chunk,
             scatter_method=cfg.scatter_method,
             scalar_implicit=cfg.implicit_scalars,
+            elements_kernel=cfg.elements_kernel,
         )
 
         self._residual = jax.jit(
@@ -215,6 +218,9 @@ class NSSolver:
                 num_newton,
                 cfg.assembly_chunk,
                 cfg.scatter_method,
+                cfg.implicit_scalars,
+                None,
+                cfg.elements_kernel,
             )
 
         return fn
