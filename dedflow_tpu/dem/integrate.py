@@ -69,12 +69,17 @@ def dem_step(
 
 @partial(jax.jit, static_argnums=(0, 2))
 def dem_run(
-    cfg: DEMConfig, state: ParticleState, num_steps: int
+    cfg: DEMConfig,
+    state: ParticleState,
+    num_steps: int,
+    ext: jnp.ndarray | None = None,
 ) -> ParticleState:
-    """num_steps substeps as one lax.scan (zero host round-trips)."""
+    """num_steps substeps as one lax.scan (zero host round-trips).
+    `ext` (P, 3): external per-particle force held fixed over the substeps
+    (e.g. fluid drag from dem.coupling, refreshed once per fluid step)."""
 
     def body(st, _):
-        return dem_step(cfg, st), None
+        return dem_step(cfg, st, ext), None
 
     out, _ = jax.lax.scan(body, state, None, length=num_steps)
     return out

@@ -107,9 +107,12 @@ def assemble_residual(
     freeze_phi_temperature: bool = True,
     chunk: int | None = None,
     source: jnp.ndarray | None = None,
+    nodal_force: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Global residual F (N, 6). `source` (N,) is a nodal volumetric heat
-    source (e.g. the moving laser, app.scenarios.laser_source)."""
+    source (e.g. the moving laser, app.scenarios.laser_source);
+    `nodal_force` (N, 3) is an already-integrated nodal momentum load
+    (e.g. the DEM drag reaction, dem.coupling.drag_exchange)."""
     if chunk:
         f = _chunked_residual(ctx, w_alpha, dw_alpha, phys, scheme, chunk, source)
     else:
@@ -118,6 +121,8 @@ def assemble_residual(
         f = scatter_residual(
             ctx, weakform.ns_residual_elements(ctx, ef, phys, scheme, src_e)
         )
+    if nodal_force is not None:
+        f = f.at[:, :3].add(-nodal_force)
     for fctx in face_ctxs:
         f = f + scatter_face_residual(
             fctx,

@@ -48,18 +48,19 @@ from dedflow_tpu.sparse.topology import build_sparsity
 
 def residual(
     ctx, face_ctxs, mask, wgold, dwgold, dwg, phys, scheme, freeze, chunk=None,
-    source=None,
+    source=None, nodal_force=None,
 ):
     wa, dwa = ns.alpha_states(wgold, dwgold, dwg, scheme)
     return ns.assemble_residual(
-        ctx, face_ctxs, mask, wa, dwa, phys, scheme, freeze, chunk, source
+        ctx, face_ctxs, mask, wa, dwa, phys, scheme, freeze, chunk, source,
+        nodal_force,
     )
 
 
 def newton_iter(
     ctx, face_ctxs, mask, wgold, dwgold, dwg, f, phys, scheme, kcfg, freeze,
     chunk=None, scatter_method="segment", scalar_implicit=False, source=None,
-    elements_kernel="xla",
+    elements_kernel="xla", nodal_force=None,
 ):
     """One Newton iteration (main.c:157-279 body): assemble J, solve
     GMRES(J) dx = F, update dwg, reassemble F. Returns
@@ -81,7 +82,7 @@ def newton_iter(
     dwg = dwg - sol.x  # main.c:226
     f = residual(
         ctx, face_ctxs, mask, wgold, dwgold, dwg, phys, scheme, freeze, chunk,
-        source,
+        source, nodal_force,
     )
     return dwg, f, ns.field_norms(f), sol.iters
 
@@ -120,12 +121,14 @@ def step_fixed(
     scalar_implicit=False,
     source=None,
     elements_kernel="xla",
+    nodal_force=None,
 ):
     """One full time step with a fixed Newton iteration count, suitable for
     a single jit with zero host syncs (benchmarks, sharded execution)."""
     dwg = predict(dwg, scheme)
     f = residual(
-        ctx, face_ctxs, mask, wgold, dwgold, dwg, phys, scheme, freeze, chunk, source
+        ctx, face_ctxs, mask, wgold, dwgold, dwg, phys, scheme, freeze, chunk,
+        source, nodal_force,
     )
 
     def body(_, carry):
@@ -133,6 +136,7 @@ def step_fixed(
         dwg, f, _, _ = newton_iter(
             ctx, face_ctxs, mask, wgold, dwgold, dwg, f, phys, scheme, kcfg, freeze,
             chunk, scatter_method, scalar_implicit, source, elements_kernel,
+            nodal_force,
         )
         return dwg, f
 
@@ -228,20 +232,21 @@ class NSSolver:
     # ------------------------------------------------------------------
     def newton_solve(
         self, wgold: jnp.ndarray, dwgold: jnp.ndarray, dwg: jnp.ndarray,
-        source=None,
+        source=None, nodal_force=None,
     ) -> tuple[jnp.ndarray, NewtonStats]:
         """Adaptive Newton loop with host-side convergence check
         (reference semantics, main.c:157-279)."""
         ncfg = self.cfg.newton
         f = self._residual(
-            self.ctx, self.face_ctxs, self.mask, wgold, dwgold, dwg, source=source
+            self.ctx, self.face_ctxs, self.mask, wgold, dwgold, dwg, source=source,
+            nodal_force=nodal_force,
         )
         rnorm0 = np.asarray(self._norms(f)) + 1e-16  # main.c:152-155
         stats = NewtonStats(rnorm0=rnorm0, rnorms=[], krylov_iters=[], converged=False)
         for _ in range(ncfg.max_iter):
             dwg, f, rn, kit = self._newton_iter(
                 self.ctx, self.face_ctxs, self.mask, wgold, dwgold, dwg, f,
-                source=source,
+                source=source, nodal_force=nodal_force,
             )
             rn = np.asarray(rn)
             stats.rnorms.append(rn)
@@ -253,17 +258,20 @@ class NSSolver:
 
     def step(
         self, wgold: jnp.ndarray, dwgold: jnp.ndarray, dwg: jnp.ndarray,
-        source=None,
+        source=None, nodal_force=None,
     ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, NewtonStats]:
         """One generalized-alpha time step (predict/newton/update)."""
         dwg = self._predict(dwg)
-        dwg, stats = self.newton_solve(wgold, dwgold, dwg, source)
+        dwg, stats = self.newton_solve(wgold, dwgold, dwg, source, nodal_force)
         wgold, dwgold = self._update(wgold, dwgold, dwg)
         return wgold, dwgold, dwg, stats
 
-    def step_fixed(self, wgold, dwgold, dwg, num_newton: int = 4, source=None):
+    def step_fixed(
+        self, wgold, dwgold, dwg, num_newton: int = 4, source=None,
+        nodal_force=None,
+    ):
         """Fully-jitted step with a fixed Newton iteration count."""
         return self._step_fixed(
             self.ctx, self.face_ctxs, self.mask, wgold, dwgold, dwg,
-            num_newton=num_newton, source=source,
+            num_newton=num_newton, source=source, nodal_force=nodal_force,
         )
