@@ -42,35 +42,40 @@ def pair_forces(
     cand: jnp.ndarray,  # (P, M) candidate indices; P = empty slot
     prm: ContactParams,
 ) -> jnp.ndarray:
-    """(P, 3) net contact force per particle."""
+    """(P, 3) net contact force per particle.
+
+    Component-wise (coordinates unrolled in Python): every array stays
+    (P, M), never (P, M, 3) - TPU tile layouts pad a trailing dim of 3 to
+    128 lanes (~43x memory), which OOMs at 100k particles.
+    """
     p = x.shape[0]
     dtype = x.dtype
     idx = jnp.arange(p, dtype=cand.dtype)
     valid = (cand < p) & (cand != idx[:, None])  # (P, M)
     j = jnp.minimum(cand, p - 1)  # safe gather index
 
-    xj = x[j]  # (P, M, 3)
-    vj = v[j]
+    d = [x[:, c][:, None] - x[:, c][j] for c in range(3)]  # away from j
+    v_rel = [v[:, c][:, None] - v[:, c][j] for c in range(3)]
     rj = radius[j]
-    d = x[:, None, :] - xj  # (P, M, 3), points away from j
-    dist2 = jnp.sum(d * d, axis=-1)
+    dist2 = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
     dist = jnp.sqrt(jnp.maximum(dist2, prm.eps))
-    n = d / dist[..., None]
+    n = [d[c] / dist for c in range(3)]
     delta = radius[:, None] + rj - dist
     active = valid & (delta > 0.0)
     af = active.astype(dtype)
 
-    v_rel = v[:, None, :] - vj
-    vn = jnp.sum(v_rel * n, axis=-1)  # (P, M)
+    vn = v_rel[0] * n[0] + v_rel[1] * n[1] + v_rel[2] * n[2]  # (P, M)
     fn_mag = prm.k_n * delta - prm.gamma_n * vn
-    f = (af * fn_mag)[..., None] * n
+    w = af * fn_mag
+    f = [w * n[c] for c in range(3)]
 
     if prm.mu > 0.0 and prm.gamma_t > 0.0:
-        vt = v_rel - vn[..., None] * n
-        vt_norm = jnp.sqrt(jnp.maximum(jnp.sum(vt * vt, axis=-1), prm.eps))
-        ft_mag = jnp.minimum(prm.mu * jnp.abs(fn_mag), prm.gamma_t * vt_norm)
-        f = f - (af * ft_mag / vt_norm)[..., None] * vt
-    return jnp.sum(f, axis=1)
+        vt = [v_rel[c] - vn * n[c] for c in range(3)]
+        vt2 = vt[0] * vt[0] + vt[1] * vt[1] + vt[2] * vt[2]
+        vt_norm = jnp.sqrt(jnp.maximum(vt2, prm.eps))
+        ft = af * jnp.minimum(prm.mu * jnp.abs(fn_mag), prm.gamma_t * vt_norm)
+        f = [f[c] - ft / vt_norm * vt[c] for c in range(3)]
+    return jnp.stack([jnp.sum(f[c], axis=1) for c in range(3)], axis=-1)
 
 
 def wall_forces(

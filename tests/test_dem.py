@@ -210,3 +210,48 @@ def test_coupled_fem_dem_step():
     # flow is +x: particles drifted downstream, much less across
     assert dx[:, 0].mean() > 1e-4
     assert abs(dx[:, 1].mean()) < dx[:, 0].mean()
+
+
+def test_grid_dem_matches_candidate_path():
+    """Dense grid-resident contacts == the candidate-list oracle."""
+    from dedflow_tpu.dem import grid as gdem
+    from dedflow_tpu.dem.integrate import DEMConfig, dem_run
+
+    rng = np.random.default_rng(7)
+    p = 150
+    x = rng.uniform(0.08, 0.92, size=(p, 3))
+    v = rng.normal(scale=0.05, size=(p, 3))
+    st = particle_state(x, v, radius=0.03, mass=1.0)
+    cell_grid = make_grid([0, 0, 0], [1, 1, 1], cell_size=0.08, capacity=8)
+    assert cell_stats(cell_grid, x)["overflow"] == 0
+    cfg = DEMConfig(
+        grid=cell_grid,
+        contact=ContactParams(k_n=2e3, gamma_n=3.0),
+        gravity=(0.0, 0.0, -9.81),
+        dt=1e-4,
+        walls_lo=(0, 0, 0),
+        walls_hi=(1, 1, 1),
+        linear_drag=0.5,
+    )
+    # force equality at t=0
+    gs = gdem.to_grid(cell_grid, st, p)
+    fg = gdem.grid_forces(cfg, gs, 1.0)
+    f_grid = np.zeros((p, 3))
+    pid = np.asarray(gs.pid).reshape(-1)
+    ok = pid < p
+    for c in range(3):
+        f_grid[pid[ok], c] = np.asarray(fg[c]).reshape(-1)[ok]
+    from dedflow_tpu.dem.integrate import forces
+
+    f_ref = np.asarray(forces(cfg, st))
+    np.testing.assert_allclose(f_grid, f_ref, rtol=1e-10, atol=1e-10)
+
+    # short trajectory equality (same integrator, rebuild every step)
+    out_ref = dem_run(cfg, st, 40)
+    out_grid = gdem.dem_run_grid(cfg, st, 40, rebuild_every=10)
+    np.testing.assert_allclose(
+        np.asarray(out_grid.x), np.asarray(out_ref.x), rtol=1e-6, atol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_grid.v), np.asarray(out_ref.v), rtol=1e-5, atol=1e-7
+    )
