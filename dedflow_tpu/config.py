@@ -88,12 +88,18 @@ class NewtonConfig:
 
 @dataclass(frozen=True)
 class KrylovConfig:
-    """main.c:406."""
+    """main.c:406. The NS system is nonsymmetric, so the coupled solver
+    always uses GMRES; solver.krylov.cg exists for SPD scalar problems
+    (heat/Poisson - the reference's CG is an empty stub, krylov.c:42).
+    `restart` = GMRES(m): None reproduces the reference's restart-free
+    full-basis solve; small m cuts the per-iteration basis streaming on
+    TPU at the cost of extra iterations."""
 
     solver: str = "gmres"
     max_iter: int = 120
     atol: float = 1e-12
     rtol: float = 1e-4
+    restart: int | None = None
 
 
 @dataclass(frozen=True)
@@ -178,7 +184,9 @@ def load_config(path: str) -> SolverConfig:
         physics=Physics(**phys_d),
         time=TimeScheme(**d.get("time", {})),
         newton=NewtonConfig(**d.get("newton", {})),
-        krylov=KrylovConfig(**d.get("krylov", {})),
+        krylov=KrylovConfig(
+            **{**d.get("krylov", {}), "restart": d.get("krylov", {}).get("restart")}
+        ),
         bcs=tuple(
             BCSpec(
                 boundary=b["boundary"],

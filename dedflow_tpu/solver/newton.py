@@ -78,6 +78,7 @@ def newton_iter(
         atol=kcfg.atol,
         rtol=kcfg.rtol,
         pc=pc,
+        restart=kcfg.restart,
     )
     dwg = dwg - sol.x  # main.c:226
     f = residual(

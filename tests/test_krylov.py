@@ -109,3 +109,26 @@ def test_gmres_under_jit():
         return gmres(lambda v: a @ v, bv, maxit=20, atol=1e-13, rtol=1e-13).x
 
     assert np.linalg.norm(np.asarray(solve(b) - x_true)) < 1e-7
+
+
+def test_gmres_restarted_converges():
+    """GMRES(m) reaches the same solution as full GMRES on a nonsymmetric
+    system, and the first-cycle relative tolerance semantics hold."""
+    import jax.numpy as jnp
+
+    from dedflow_tpu.solver.krylov import gmres
+
+    rng = np.random.default_rng(4)
+    n = 120
+    a = np.eye(n) * 4.0 + 0.5 * rng.normal(size=(n, n)) / np.sqrt(n)
+    x_true = rng.normal(size=n)
+    b = a @ x_true
+    aj = jnp.asarray(a)
+    matvec = lambda v: aj @ v
+    full = gmres(matvec, jnp.asarray(b), maxit=200, rtol=1e-10)
+    rest = gmres(matvec, jnp.asarray(b), maxit=200, rtol=1e-10, restart=20)
+    assert bool(rest.converged)
+    np.testing.assert_allclose(np.asarray(rest.x), x_true, rtol=1e-7, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(full.x), x_true, rtol=1e-8, atol=1e-9)
+    # restarted iter count is a multiple of m and bounded by maxit rounding
+    assert int(rest.iters) % 20 == 0
