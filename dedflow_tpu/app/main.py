@@ -40,9 +40,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--config", help="solver config JSON (config.SolverConfig)")
     p.add_argument(
         "--scenario",
-        choices=["reference", "melt-pool"],
+        choices=["reference", "melt-pool", "cavity"],
         default="reference",
-        help="built-in scenario (reference channel flow / moving-laser DED)",
+        help="built-in scenario (reference channel flow / moving-laser DED / "
+        "lid-driven cavity)",
     )
     p.add_argument("--steps", type=int, default=None, help="override num_steps")
     p.add_argument("--save-every", type=int, default=None)
@@ -95,6 +96,8 @@ def main(argv=None) -> int:
 
     from dedflow_tpu.app.scenarios import (
         laser_source,
+        lid_driven_cavity_config,
+        lid_driven_cavity_initial_state,
         melt_pool_initial_state,
         melt_pool_scenario_config,
         reference_initial_state,
@@ -129,6 +132,8 @@ def main(argv=None) -> int:
         cfg = load_config(args.config)
     elif args.scenario == "melt-pool":
         cfg = melt_pool_scenario_config()
+    elif args.scenario == "cavity":
+        cfg = lid_driven_cavity_config()
     else:
         cfg = reference_scenario_config()
     overrides = {}
@@ -166,11 +171,10 @@ def main(argv=None) -> int:
         dwgold_np = dwg_np.copy()  # reference resumes with dwgold = dwg
         log.info("resumed from step %d", step0)
     else:
-        init = (
-            melt_pool_initial_state
-            if args.scenario == "melt-pool"
-            else reference_initial_state
-        )
+        init = {
+            "melt-pool": melt_pool_initial_state,
+            "cavity": lid_driven_cavity_initial_state,
+        }.get(args.scenario, reference_initial_state)
         wg_np, dwgold_np, dwg_np = init(mesh)
         write_solution_h5(
             os.path.join(args.out, "sol.0.h5"), wg_np, dwg_np, step=0, time=0.0

@@ -68,6 +68,53 @@ def reference_scenario_config(**overrides) -> SolverConfig:
 
 
 # ---------------------------------------------------------------------------
+# Lid-driven cavity (BASELINE config #2): transient stabilized NS in a
+# closed box, top (z+) lid moving with u = (1, 0, 0), all other walls
+# no-slip. The classic incompressible benchmark; no analogue exists in
+# the reference driver.
+
+
+def lid_driven_cavity_bcs() -> tuple[BCSpec, ...]:
+    """Box side order [x-, x+, y-, y+, z-, z+]: no-slip everywhere except
+    the moving z+ lid, which fixes all velocity components (the lid value
+    itself comes from the initial condition - the Dirichlet machinery
+    preserves whatever the constrained rows hold, dirichlet.py)."""
+    return tuple(
+        BCSpec(boundary=b, strong_components=(0, 1, 2)) for b in range(6)
+    )
+
+
+def lid_driven_cavity_config(**overrides) -> SolverConfig:
+    cfg = SolverConfig(
+        physics=Physics(rho=1.0, mu=1.0e-2),  # Re = 100 cavity
+        time=TimeScheme(dt=5e-2),
+        bcs=lid_driven_cavity_bcs(),
+        pin_pressure=True,  # enclosed flow: constant-pressure null mode
+    )
+    if overrides:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, **overrides)
+    return cfg
+
+
+def lid_driven_cavity_initial_state(mesh: Mesh):
+    """u = (1,0,0) on the lid interior, zero elsewhere.
+
+    The lid's rim nodes (shared with the side walls) stay at zero so the
+    constrained velocity field is continuous."""
+    n = mesh.num_node
+    wg = np.zeros((n, 6))
+    lid = mesh.boundaries[5].nodes
+    rim = np.unique(
+        np.concatenate([mesh.boundaries[b].nodes for b in range(5)])
+    )
+    interior_lid = np.setdiff1d(lid, rim)
+    wg[interior_lid, 0] = 1.0
+    return wg, np.zeros((n, 6)), np.zeros((n, 6))
+
+
+# ---------------------------------------------------------------------------
 # Moving-laser melt-pool scenario (BASELINE config #3). The reference has
 # no heat source and freezes its T equation (main.c:64); this scenario
 # activates the full thermal-fluid coupling with consistent scalar

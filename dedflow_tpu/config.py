@@ -139,6 +139,10 @@ class SolverConfig:
     # "xla" or "pallas": the fused single-pass TPU element-Jacobian kernel
     # (fem.pallas_kernels; frozen-scalar mode only, else falls back).
     elements_kernel: str = "xla"
+    # Constrain the pressure at node 0 (unit diagonal row). Needed for
+    # fully enclosed flows (lid-driven cavity) whose pressure is only
+    # defined up to a constant.
+    pin_pressure: bool = False
 
 
 def reference_bcs() -> tuple[BCSpec, ...]:
@@ -202,4 +206,5 @@ def load_config(path: str) -> SolverConfig:
         scatter_method=d.get("scatter_method", "segment"),
         implicit_scalars=d.get("implicit_scalars", False),
         elements_kernel=d.get("elements_kernel", "xla"),
+        pin_pressure=d.get("pin_pressure", False),
     )

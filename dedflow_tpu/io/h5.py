@@ -136,11 +136,17 @@ def write_solution_h5(
         phi  = wg[:, 4]                   p    = dwg[:, 3]
         T    = wg[:, 5]                   dphi = dwg[:, 4],  dT = dwg[:, 5]
     """
+    import os
+
     h5py = _h5py()
     wg = np.asarray(wg)
     dwg = np.asarray(dwg)
     n = wg.shape[0]
-    with h5py.File(path, "w") as f:
+    # atomic write: temp file + rename, so an interrupted run never leaves
+    # a truncated snapshot behind (the reference writes in place,
+    # main.c:571-591; SURVEY.md section 5, checkpoint/resume)
+    tmp = path + ".tmp"
+    with h5py.File(tmp, "w") as f:
         f.create_dataset("u", data=wg[:, :3].ravel())
         f.create_dataset("p", data=np.asarray(dwg[:, 3]))
         f.create_dataset("phi", data=np.asarray(wg[:, 4]))
@@ -152,6 +158,7 @@ def write_solution_h5(
             f.create_dataset("meta/step", data=np.int64(step))
         if time is not None:
             f.create_dataset("meta/time", data=np.float64(time))
+    os.replace(tmp, path)
 
 
 def read_solution_h5(path: str) -> dict:

@@ -179,7 +179,10 @@ class NSSolver:
             for bc in cfg.bcs
             if bc.strong_components
         ]
-        self.mask = jnp.asarray(dbc.build_mask(mesh, strong, 6))
+        mask_np = dbc.build_mask(mesh, strong, 6)
+        if cfg.pin_pressure:
+            mask_np[0, 3] = True  # remove the constant-pressure null mode
+        self.mask = jnp.asarray(mask_np)
 
         phys, scheme, kcfg = cfg.physics, cfg.time, cfg.krylov
         freeze = cfg.freeze_phi_temperature

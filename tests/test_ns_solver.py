@@ -102,3 +102,41 @@ def test_chunked_assembly_matches_whole_mesh():
     w1, d1, g1 = s1.step_fixed(wg, dwgold, dwg, num_newton=2)
     np.testing.assert_allclose(np.asarray(w1), np.asarray(w0), rtol=1e-9, atol=1e-11)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), rtol=1e-7, atol=1e-9)
+
+
+def test_lid_driven_cavity_develops_flow():
+    """BASELINE config #2: the moving lid drags the enclosed fluid along;
+    the pressure pin removes the constant null mode."""
+    import jax.numpy as jnp
+
+    from dedflow_tpu.app.scenarios import (
+        lid_driven_cavity_config,
+        lid_driven_cavity_initial_state,
+    )
+    from dedflow_tpu.mesh import box_mesh
+    from dedflow_tpu.solver.newton import NSSolver
+
+    mesh = box_mesh(5, 5, 5)
+    cfg = lid_driven_cavity_config()
+    solver = NSSolver(mesh, cfg)
+    wg, dwgold, dwg = (
+        jnp.asarray(x) for x in lid_driven_cavity_initial_state(mesh)
+    )
+    for _ in range(5):
+        wg, dwgold, dwg, stats = solver.step(wg, dwgold, dwg)
+        assert np.isfinite(np.asarray(wg)).all()
+    w = np.asarray(wg)
+    # lid value preserved exactly by the Dirichlet machinery
+    lid = mesh.boundaries[5].nodes
+    rim = np.unique(np.concatenate([mesh.boundaries[b].nodes for b in range(5)]))
+    interior_lid = np.setdiff1d(lid, rim)
+    np.testing.assert_allclose(w[interior_lid, 0], 1.0, atol=1e-12)
+    # no-slip walls hold
+    bottom = mesh.boundaries[4].nodes
+    np.testing.assert_allclose(w[bottom, :3], 0.0, atol=1e-12)
+    # interior fluid has been dragged into motion
+    wall = np.unique(np.concatenate([np.asarray(b.nodes) for b in mesh.boundaries]))
+    interior = np.setdiff1d(np.arange(mesh.num_node), wall)
+    assert np.abs(w[interior, 0]).max() > 0.02
+    # velocities bounded by the lid speed (no blow-up)
+    assert np.abs(w[:, :3]).max() <= 1.5
