@@ -91,3 +91,44 @@ def test_sharded_residual_matches():
     np.testing.assert_allclose(
         sh.gather_state(f2), np.asarray(f1), rtol=1e-10, atol=1e-12
     )
+
+
+def test_shardmap_spmv_and_dots_match_single_device():
+    """Explicit-collectives kernels (parallel.spmd): shard_map SpMV with
+    an all_gather halo + psum reductions == the single-device results."""
+    from dedflow_tpu.fem import ns
+    from dedflow_tpu.parallel import spmd
+    from dedflow_tpu.parallel.sharded import ShardedNSSolver
+
+    mesh = box_mesh(4, 4, 2)
+    cfg = reference_scenario_config()
+    dmesh = jax.make_mesh(
+        (8,), ("dd",), axis_types=(jax.sharding.AxisType.Auto,)
+    )
+    sh = ShardedNSSolver(mesh, cfg, dmesh)
+    wg0, dwgold0, dwg0 = reference_initial_state(mesh)
+    wg, dwgold, dwg = (sh.shard_state(x) for x in (wg0, dwgold0, dwg0))
+    wa, dwa = ns.alpha_states(wg, dwgold, dwg, cfg.time)
+    jmat = ns.assemble_jacobian(
+        sh.ctx, sh.face_ctxs, sh.mask, wa, dwa, cfg.physics, cfg.time
+    )
+
+    rng = np.random.default_rng(0)
+    n_pad = sh.pmesh.num_node
+    x_np = rng.normal(size=(n_pad, 6))
+    x = jax.device_put(jax.numpy.asarray(x_np, dtype=sh.dtype), sh.sharding)
+
+    y_ref = np.asarray(jmat.matvec(x))
+    mv = spmd.fsbsr_matvec_shardmap(dmesh, "dd")
+    y = np.asarray(mv(jmat.data, jmat.ell_col, x))
+    np.testing.assert_allclose(y, y_ref, rtol=1e-10, atol=1e-12)
+
+    dot = spmd.dot_shardmap(dmesh, "dd")
+    nrm = spmd.norm_shardmap(dmesh, "dd")
+    np.testing.assert_allclose(
+        float(dot(x, jax.numpy.asarray(y))), float(np.vdot(x_np.ravel(), y.ravel())),
+        rtol=1e-10,
+    )
+    np.testing.assert_allclose(
+        float(nrm(x)), np.linalg.norm(x_np.ravel()), rtol=1e-10
+    )
