@@ -79,11 +79,19 @@ class NewtonConfig:
     lacks (with atol=0 the semantics are identical): a field whose initial
     residual is exactly zero - e.g. continuity for a uniform initial flow -
     makes the relative test unattainable and the reference then always
-    runs all 4 iterations."""
+    runs all 4 iterations.
+
+    `lag_jacobian` (modified Newton): assemble J + preconditioner once per
+    time step and reuse them for every Newton iteration. The Jacobian is
+    already an inexact Picard tangent, so lagging trades a little
+    convergence rate for skipping (max_iter-1) assemblies per step.
+    Default off = reference semantics (reassemble every iteration,
+    main.c:160)."""
 
     max_iter: int = 4
     rtol: float = 0.5e-3
     atol: float = 0.0
+    lag_jacobian: bool = False
 
 
 @dataclass(frozen=True)
@@ -187,7 +195,12 @@ def load_config(path: str) -> SolverConfig:
     return SolverConfig(
         physics=Physics(**phys_d),
         time=TimeScheme(**d.get("time", {})),
-        newton=NewtonConfig(**d.get("newton", {})),
+        newton=NewtonConfig(
+            max_iter=d.get("newton", {}).get("max_iter", 4),
+            rtol=d.get("newton", {}).get("rtol", 0.5e-3),
+            atol=d.get("newton", {}).get("atol", 0.0),
+            lag_jacobian=d.get("newton", {}).get("lag_jacobian", False),
+        ),
         krylov=KrylovConfig(
             **{**d.get("krylov", {}), "restart": d.get("krylov", {}).get("restart")}
         ),

@@ -57,20 +57,25 @@ def residual(
     )
 
 
-def newton_iter(
-    ctx, face_ctxs, mask, wgold, dwgold, dwg, f, phys, scheme, kcfg, freeze,
-    chunk=None, scatter_method="segment", scalar_implicit=False, source=None,
-    elements_kernel="xla", nodal_force=None,
+def assemble_system(
+    ctx, face_ctxs, mask, wgold, dwgold, dwg, phys, scheme,
+    chunk=None, scatter_method="segment", scalar_implicit=False,
+    elements_kernel="xla",
 ):
-    """One Newton iteration (main.c:157-279 body): assemble J, solve
-    GMRES(J) dx = F, update dwg, reassemble F. Returns
-    (dwg, f, field_norms, krylov_iters)."""
+    """Assemble the Jacobian + its preconditioner at the current state."""
     wa, dwa = ns.alpha_states(wgold, dwgold, dwg, scheme)
     jmat = ns.assemble_jacobian(
         ctx, face_ctxs, mask, wa, dwa, phys, scheme, chunk, scatter_method,
         scalar_implicit, elements_kernel,
     )
-    pc = NSFieldSplitPC.from_matrix(jmat)
+    return jmat, NSFieldSplitPC.from_matrix(jmat)
+
+
+def solve_update(
+    ctx, face_ctxs, mask, jmat, pc, wgold, dwgold, dwg, f, phys, scheme, kcfg,
+    freeze, chunk=None, source=None, nodal_force=None,
+):
+    """GMRES(J) dx = F; dwg -= dx; reassemble F (main.c:211-265)."""
     sol = gmres(
         jmat.matvec,
         f,
@@ -86,6 +91,24 @@ def newton_iter(
         source, nodal_force,
     )
     return dwg, f, ns.field_norms(f), sol.iters
+
+
+def newton_iter(
+    ctx, face_ctxs, mask, wgold, dwgold, dwg, f, phys, scheme, kcfg, freeze,
+    chunk=None, scatter_method="segment", scalar_implicit=False, source=None,
+    elements_kernel="xla", nodal_force=None,
+):
+    """One Newton iteration (main.c:157-279 body): assemble J, solve
+    GMRES(J) dx = F, update dwg, reassemble F. Returns
+    (dwg, f, field_norms, krylov_iters)."""
+    jmat, pc = assemble_system(
+        ctx, face_ctxs, mask, wgold, dwgold, dwg, phys, scheme, chunk,
+        scatter_method, scalar_implicit, elements_kernel,
+    )
+    return solve_update(
+        ctx, face_ctxs, mask, jmat, pc, wgold, dwgold, dwg, f, phys, scheme,
+        kcfg, freeze, chunk, source, nodal_force,
+    )
 
 
 def predict(dwg, scheme):
@@ -123,6 +146,7 @@ def step_fixed(
     source=None,
     elements_kernel="xla",
     nodal_force=None,
+    lag_jacobian=False,
 ):
     """One full time step with a fixed Newton iteration count, suitable for
     a single jit with zero host syncs (benchmarks, sharded execution)."""
@@ -132,14 +156,30 @@ def step_fixed(
         source, nodal_force,
     )
 
-    def body(_, carry):
-        dwg, f = carry
-        dwg, f, _, _ = newton_iter(
-            ctx, face_ctxs, mask, wgold, dwgold, dwg, f, phys, scheme, kcfg, freeze,
-            chunk, scatter_method, scalar_implicit, source, elements_kernel,
-            nodal_force,
+    if lag_jacobian:
+        jmat, pc = assemble_system(
+            ctx, face_ctxs, mask, wgold, dwgold, dwg, phys, scheme, chunk,
+            scatter_method, scalar_implicit, elements_kernel,
         )
-        return dwg, f
+
+        def body(_, carry):
+            dwg, f = carry
+            dwg, f, _, _ = solve_update(
+                ctx, face_ctxs, mask, jmat, pc, wgold, dwgold, dwg, f, phys,
+                scheme, kcfg, freeze, chunk, source, nodal_force,
+            )
+            return dwg, f
+
+    else:
+
+        def body(_, carry):
+            dwg, f = carry
+            dwg, f, _, _ = newton_iter(
+                ctx, face_ctxs, mask, wgold, dwgold, dwg, f, phys, scheme, kcfg,
+                freeze, chunk, scatter_method, scalar_implicit, source,
+                elements_kernel, nodal_force,
+            )
+            return dwg, f
 
     dwg, f = jax.lax.fori_loop(0, num_newton, body, (dwg, f))
     new_wgold, new_dwgold = update(wgold, dwgold, dwg, scheme)
@@ -199,10 +239,25 @@ class NSSolver:
         )
         self._norms = jax.jit(lambda f: ns.field_norms(f))
         self._newton_iter = jax.jit(partial(newton_iter, **static))
+        self._assemble_system = jax.jit(
+            partial(
+                assemble_system, phys=phys, scheme=scheme, chunk=chunk,
+                scatter_method=cfg.scatter_method,
+                scalar_implicit=cfg.implicit_scalars,
+                elements_kernel=cfg.elements_kernel,
+            )
+        )
+        self._solve_update = jax.jit(
+            partial(
+                solve_update, phys=phys, scheme=scheme, kcfg=kcfg,
+                freeze=freeze, chunk=chunk,
+            )
+        )
         self._predict = jax.jit(partial(predict, scheme=scheme))
         self._update = jax.jit(partial(update, scheme=scheme))
         self._step_fixed = jax.jit(
-            partial(step_fixed, **static), static_argnames=("num_newton",)
+            partial(step_fixed, **static, lag_jacobian=cfg.newton.lag_jacobian),
+            static_argnames=("num_newton",),
         )
 
     def make_step_fn(self, num_newton: int = 4):
@@ -247,11 +302,22 @@ class NSSolver:
         )
         rnorm0 = np.asarray(self._norms(f)) + 1e-16  # main.c:152-155
         stats = NewtonStats(rnorm0=rnorm0, rnorms=[], krylov_iters=[], converged=False)
-        for _ in range(ncfg.max_iter):
-            dwg, f, rn, kit = self._newton_iter(
-                self.ctx, self.face_ctxs, self.mask, wgold, dwgold, dwg, f,
-                source=source, nodal_force=nodal_force,
+        lagged = None
+        if ncfg.lag_jacobian:
+            lagged = self._assemble_system(
+                self.ctx, self.face_ctxs, self.mask, wgold, dwgold, dwg
             )
+        for _ in range(ncfg.max_iter):
+            if lagged is not None:
+                dwg, f, rn, kit = self._solve_update(
+                    self.ctx, self.face_ctxs, self.mask, lagged[0], lagged[1],
+                    wgold, dwgold, dwg, f, source=source, nodal_force=nodal_force,
+                )
+            else:
+                dwg, f, rn, kit = self._newton_iter(
+                    self.ctx, self.face_ctxs, self.mask, wgold, dwgold, dwg, f,
+                    source=source, nodal_force=nodal_force,
+                )
             rn = np.asarray(rn)
             stats.rnorms.append(rn)
             stats.krylov_iters.append(int(kit))

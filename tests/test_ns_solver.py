@@ -140,3 +140,30 @@ def test_lid_driven_cavity_develops_flow():
     assert np.abs(w[interior, 0]).max() > 0.02
     # velocities bounded by the lid speed (no blow-up)
     assert np.abs(w[:, :3]).max() <= 1.5
+
+
+def test_lagged_jacobian_converges_to_same_solution():
+    """Modified Newton (lag_jacobian): same converged step result within
+    the Newton tolerance; the lagged path may take more iterations."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from dedflow_tpu.config import NewtonConfig
+
+    mesh = box_mesh(3, 2, 2)
+    cfg = reference_scenario_config(newton=NewtonConfig(atol=1e-9, max_iter=6))
+    cfg_lag = dataclasses.replace(
+        cfg, newton=NewtonConfig(atol=1e-9, max_iter=6, lag_jacobian=True)
+    )
+    wg0, dwgold0, dwg0 = reference_initial_state(mesh)
+    s0 = NSSolver(mesh, cfg)
+    s1 = NSSolver(mesh, cfg_lag)
+    args = tuple(jnp.asarray(a) for a in (wg0, dwgold0, dwg0))
+    w_a, _, g_a, st_a = s0.step(*args)
+    w_b, _, g_b, st_b = s1.step(*args)
+    assert st_a.converged and st_b.converged
+    np.testing.assert_allclose(np.asarray(w_b), np.asarray(w_a), rtol=1e-3, atol=1e-6)
+    # fixed-iteration jitted path also runs with lagging
+    out = s1.step_fixed(*args, num_newton=3)
+    assert all(np.isfinite(np.asarray(x)).all() for x in out)
