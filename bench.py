@@ -107,7 +107,7 @@ def main() -> None:
     cfg = dataclasses.replace(
         cfg,
         assembly_chunk=chunk_env or None,
-        scatter_method=os.environ.get("DEDFLOW_BENCH_SCATTER", "prefix"),
+        scatter_method=os.environ.get("DEDFLOW_BENCH_SCATTER", "grouped"),
         elements_kernel=os.environ.get(
             "DEDFLOW_BENCH_EKERNEL", "pallas" if platform == "tpu" else "xla"
         ),
@@ -128,7 +128,8 @@ def main() -> None:
     def resid(ctx, face_ctxs, mask, wg, dwgold, dwg):
         wa, dwa = ns.alpha_states(wg, dwgold, dwg, scheme)
         return ns.assemble_residual(
-            ctx, face_ctxs, mask, wa, dwa, phys, scheme, True, chunk
+            ctx, face_ctxs, mask, wa, dwa, phys, scheme, True, chunk,
+            None, None, method,
         )
 
     def jac(ctx, face_ctxs, mask, wg, dwgold, dwg):
@@ -136,15 +137,11 @@ def main() -> None:
         return ns.assemble_jacobian(
             ctx, face_ctxs, mask, wa, dwa, phys, scheme, chunk, method,
             False, cfg.elements_kernel,
-        ).data
+        )
 
     n_spmv = 10
 
-    def spmv_loop(ctx, data, x):
-        from dedflow_tpu.fem.assembly import fsbsr_from_data
-
-        mat = fsbsr_from_data(ctx, data)
-
+    def spmv_loop(mat, x):
         def body(_, v):
             y = mat.matvec(v)
             return y / jnp.linalg.norm(y.reshape(-1))
@@ -159,16 +156,16 @@ def main() -> None:
     log("resid compiled")
     jac_c = jax.jit(jac).lower(*cargs, wg, dwgold, dwg).compile()
     log("jac compiled")
-    jmat_data = jac_c(*cargs, wg, dwgold, dwg)
+    jmat = jac_c(*cargs, wg, dwgold, dwg)
     f = resid_c(*cargs, wg, dwgold, dwg)
-    spmv_c = jax.jit(spmv_loop).lower(solver.ctx, jmat_data, f).compile()
+    spmv_c = jax.jit(spmv_loop).lower(jmat, f).compile()
     log("spmv compiled")
 
     t_f, _ = _timeit(resid_c, *cargs, wg, dwgold, dwg)
     log(f"resid timed {t_f*1e3:.1f} ms")
     t_j, _ = _timeit(jac_c, *cargs, wg, dwgold, dwg)
     log(f"jac timed {t_j*1e3:.1f} ms")
-    t_s, _ = _timeit(spmv_c, solver.ctx, jmat_data, f)
+    t_s, _ = _timeit(spmv_c, jmat, f)
     log(f"spmv timed {t_s*1e3:.1f} ms")
 
     fl_f, _ = _cost(resid_c)

@@ -62,6 +62,12 @@ class FEMContext:
     # transposed inputs for the fused Pallas element kernel
     ien_t: jnp.ndarray  # (4, ne) int32
     lhs_geom: jnp.ndarray  # (15, ne) pallas_kernels.lhs_geom_rows
+    # grouped-scatter plan: (e,a) groups padded per row (see
+    # scatter_matrix_packed method="grouped")
+    grp_gidx: jnp.ndarray  # (N*G,) int32 group gather index; fill = ne*4
+    grp_slot: jnp.ndarray  # (N*G*4,) int32 ELL slot per (group, b)
+    # DIA view (auto-detected lattice meshes; sparse.fsbsr.FSDIAMatrix)
+    grp_plane: jnp.ndarray | None  # (N*G*4,) int32 DIA plane per (group, b)
     elem_ell: jnp.ndarray  # (ne, 16) int32 ELL position of each pair
     mat_targets_ell: jnp.ndarray  # (ne*16,) non-decreasing ELL targets
     mat_off_ell: jnp.ndarray  # (N*PR+1,) update offsets per ELL slot
@@ -69,6 +75,10 @@ class FEMContext:
     num_elem: int = field(metadata=dict(static=True))
     nnz: int = field(metadata=dict(static=True))
     ell_width: int = field(metadata=dict(static=True))
+    grp_width: int = field(metadata=dict(static=True))  # G: max groups/row
+    # sorted distinct column offsets (col - row) when few enough for DIA
+    # storage; None on unstructured/reordered meshes
+    dia_offsets: tuple | None = field(metadata=dict(static=True))
 
 
 def build_context(
@@ -114,9 +124,47 @@ def build_context(
     off = np.zeros(n * pr + 1, dtype=np.int64)
     np.cumsum(counts, out=off[1:])
 
+    # grouped-scatter plan: the (e, a) pairs hitting row r, padded to the
+    # max count G. Wide (4x18-float) gather rows run ~10x faster than
+    # per-update rows on TPU (see scatter_matrix_packed "grouped").
+    ga_rows = ien_np.ravel()  # row of group g = e*4 + a
+    ng = ga_rows.size
+    gcounts = np.bincount(ga_rows, minlength=n)
+    gmax = int(gcounts.max()) if ng else 0
+    goff = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(gcounts, out=goff[1:])
+    jj = np.arange(gmax)[None, :]
+    gvalid = jj < gcounts[:, None]
+    gidx = np.full((n, gmax), ng, dtype=np.int64)
+    gidx[gvalid] = node_perm_np[(goff[:-1, None] + jj)[gvalid]]
+    slot_tbl = (nnz_to_ell_np[elem_nnz_np] % pr).reshape(-1, 4)  # (ne*4, 4)
+    grp_slot = np.zeros((n, gmax, 4), dtype=np.int32)
+    grp_slot[gvalid] = slot_tbl[gidx[gvalid]]
+
+    # DIA detection: lattice meshes with natural ordering have a tiny
+    # fixed offset stencil (15 for the Kuhn tet box) -> gather-free SpMV
+    offs_per_nnz = sparsity.col_ind.astype(np.int64) - np.asarray(
+        sparsity.row_ids, dtype=np.int64
+    )
+    uniq_offs = np.unique(offs_per_nnz)
+    dia_offsets = None
+    grp_plane = None
+    if uniq_offs.size <= 40:
+        dia_offsets = tuple(int(o) for o in uniq_offs)
+        plane_of_nnz = np.searchsorted(uniq_offs, offs_per_nnz).astype(np.int32)
+        plane_tbl = plane_of_nnz[elem_nnz_np].reshape(-1, 4)
+        grp_plane_np = np.zeros((n, gmax, 4), dtype=np.int32)
+        grp_plane_np[gvalid] = plane_tbl[gidx[gvalid]]
+        grp_plane = jnp.asarray(grp_plane_np.reshape(-1))
+
     from dedflow_tpu.fem.pallas_kernels import lhs_geom_rows
 
     return FEMContext(
+        grp_gidx=jnp.asarray(gidx.reshape(-1).astype(np.int32)),
+        grp_slot=jnp.asarray(grp_slot.reshape(-1)),
+        grp_plane=grp_plane,
+        grp_width=gmax,
+        dia_offsets=dia_offsets,
         ien=ien,
         ien_t=jnp.asarray(ien_np.T.copy()),
         lhs_geom=lhs_geom_rows(geom.shgrad, geom.det_j, geom.metric),
@@ -172,6 +220,16 @@ def scatter_residual(ctx: FEMContext, elem_f: jnp.ndarray) -> jnp.ndarray:
     return out.reshape((ctx.num_node,) + elem_f.shape[2:])
 
 
+def scatter_residual_grouped(ctx: FEMContext, elem_f: jnp.ndarray) -> jnp.ndarray:
+    """(ne, 4, 6) element vectors -> (N, 6) via the padded (e,a)-group
+    gather (same plan as the grouped matrix scatter): gather + dense sum,
+    no scatter/segment ops."""
+    n, g = ctx.num_node, ctx.grp_width
+    flat = elem_f.reshape(ctx.num_elem * 4, -1)
+    rows = jnp.take(flat, ctx.grp_gidx, axis=0, mode="fill", fill_value=0)
+    return rows.reshape(n, g, flat.shape[1]).sum(axis=1)
+
+
 def scatter_matrix(ctx: FEMContext, elem_j: jnp.ndarray) -> jnp.ndarray:
     """(ne, 4, 4, br, bc) element matrices -> (nnz, br, bc) BSR data.
 
@@ -202,8 +260,15 @@ def scatter_matrix_packed(
     dense pairwise scan; this path is ~4x faster on TPU at the cost of a
     ~1e-6-relative reduction reordering (the scan is a balanced tree, so
     the error does not grow linearly with mesh size).
+
+    method="grouped": gather whole (e,a) groups (4x18-float rows - TPU
+    gather bandwidth scales ~10x with row width) padded per target row,
+    then reduce into ELL slots with an on-the-fly one-hot contraction.
+    The fastest TPU path.
     """
     n, pr = ctx.num_node, ctx.ell_width
+    if method == "grouped":
+        return _grouped_scatter(ctx, upd, ctx.grp_slot, pr)
     upd_sorted = upd[ctx.mat_perm]  # (M, 18) in ELL-target order
     if method == "prefix":
         cs = jnp.cumsum(upd_sorted, axis=0)
@@ -217,6 +282,31 @@ def scatter_matrix_packed(
             indices_are_sorted=True,
         )
     return out.reshape(n, pr, upd.shape[1])
+
+
+def _grouped_scatter(ctx: FEMContext, upd, slot_table, width: int):
+    """Shared body of the grouped scatter: wide (e,a)-row gather + one-hot
+    slot/plane contraction into (N, width, 18)."""
+    n, g = ctx.num_node, ctx.grp_width
+    rows = jnp.take(
+        upd.reshape(-1, 4 * upd.shape[1]),
+        ctx.grp_gidx,
+        axis=0,
+        mode="fill",
+        fill_value=0,
+    )  # (N*G, 4*18)
+    vals = rows.reshape(n, g * 4, upd.shape[1])
+    onehot = (
+        slot_table.reshape(n, g * 4, 1)
+        == jnp.arange(width, dtype=jnp.int32)[None, None, :]
+    ).astype(upd.dtype)
+    return jnp.einsum("ngc,ngp->npc", vals, onehot)
+
+
+def scatter_matrix_dia(ctx: FEMContext, upd: jnp.ndarray) -> jnp.ndarray:
+    """(ne*16, 18) packed updates -> (N, D, 18) DIA planes (lattice
+    meshes; see sparse.fsbsr.FSDIAMatrix)."""
+    return _grouped_scatter(ctx, upd, ctx.grp_plane, len(ctx.dia_offsets))
 
 
 def fsbsr_from_data(ctx: FEMContext, data: jnp.ndarray):

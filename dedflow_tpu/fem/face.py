@@ -48,7 +48,10 @@ class FaceContext:
     mat_perm: jnp.ndarray  # (nf*16,)
     mat_targets: jnp.ndarray  # (nf*16,)
     mat_targets_ell: jnp.ndarray  # (nf*16,) ELL positions, non-decreasing
-    num_facet: int = field(metadata=dict(static=True))
+    # DIA-space scatter plan (lattice meshes only; None otherwise)
+    mat_perm_dia: jnp.ndarray | None = None
+    mat_targets_dia: jnp.ndarray | None = None
+    num_facet: int = field(default=0, metadata=dict(static=True))
 
 
 def build_face_context(
@@ -68,7 +71,19 @@ def build_face_context(
     mat_perm = np.argsort(mat_t, kind="stable").astype(np.int32)
     _, nnz_to_ell, _ = sparsity.ell_tables()
     mat_t_ell = nnz_to_ell[mat_t[mat_perm]].astype(np.int32)
+    mat_perm_dia = mat_targets_dia = None
+    if ctx.dia_offsets is not None:
+        uniq = np.asarray(ctx.dia_offsets, dtype=np.int64)
+        rows = np.asarray(sparsity.row_ids, dtype=np.int64)[mat_t]
+        cols = np.asarray(sparsity.col_ind, dtype=np.int64)[mat_t]
+        plane = np.searchsorted(uniq, cols - rows)
+        dia_pos = rows * uniq.size + plane
+        perm_d = np.argsort(dia_pos, kind="stable").astype(np.int32)
+        mat_perm_dia = jnp.asarray(perm_d)
+        mat_targets_dia = jnp.asarray(dia_pos[perm_d].astype(np.int32))
     return FaceContext(
+        mat_perm_dia=mat_perm_dia,
+        mat_targets_dia=mat_targets_dia,
         f2e=f2e,
         forn=forn,
         ien=jnp.asarray(ien_np),
@@ -218,6 +233,20 @@ def scatter_face_matrix_packed(
         indices_are_sorted=True,
     )
     return out.reshape(num_node, ell_width, upd.shape[1])
+
+
+def scatter_face_matrix_dia(
+    fctx: FaceContext, upd: jnp.ndarray, num_node: int, num_planes: int
+) -> jnp.ndarray:
+    """(nf*16, 18) packed updates -> (N, D, 18) DIA planes."""
+    upd_sorted = upd[fctx.mat_perm_dia]
+    out = jax.ops.segment_sum(
+        upd_sorted,
+        fctx.mat_targets_dia,
+        num_segments=num_node * num_planes,
+        indices_are_sorted=True,
+    )
+    return out.reshape(num_node, num_planes, upd.shape[1])
 
 
 def scatter_face_residual(

@@ -19,8 +19,10 @@ from dedflow_tpu.fem.assembly import (
     bsr_from_data,
     fsbsr_from_data,
     scatter_matrix,
+    scatter_matrix_dia,
     scatter_matrix_packed,
     scatter_residual,
+    scatter_residual_grouped,
     slice_elems,
 )
 from dedflow_tpu.fem.face import (
@@ -29,6 +31,7 @@ from dedflow_tpu.fem.face import (
     face_lhs_packed,
     face_residual_elements,
     scatter_face_matrix,
+    scatter_face_matrix_dia,
     scatter_face_matrix_packed,
     scatter_face_residual,
 )
@@ -108,6 +111,7 @@ def assemble_residual(
     chunk: int | None = None,
     source: jnp.ndarray | None = None,
     nodal_force: jnp.ndarray | None = None,
+    scatter_method: str = "segment",
 ) -> jnp.ndarray:
     """Global residual F (N, 6). `source` (N,) is a nodal volumetric heat
     source (e.g. the moving laser, app.scenarios.laser_source);
@@ -118,9 +122,11 @@ def assemble_residual(
     else:
         ef = weakform.gather_fields(ctx.ien, w_alpha, dw_alpha)
         src_e = None if source is None else source[ctx.ien]
-        f = scatter_residual(
-            ctx, weakform.ns_residual_elements(ctx, ef, phys, scheme, src_e)
-        )
+        fe = weakform.ns_residual_elements(ctx, ef, phys, scheme, src_e)
+        if scatter_method == "grouped":
+            f = scatter_residual_grouped(ctx, fe)
+        else:
+            f = scatter_residual(ctx, fe)
     if nodal_force is not None:
         f = f.at[:, :3].add(-nodal_force)
     for fctx in face_ctxs:
@@ -153,7 +159,37 @@ def assemble_jacobian(
 
     elements_kernel="pallas" uses the fused single-pass TPU element kernel
     (fem.pallas_kernels); it supports the frozen-scalar mode only and
-    falls back to XLA otherwise."""
+    falls back to XLA otherwise.
+
+    On lattice meshes (ctx.dia_offsets detected) with the grouped scatter,
+    the matrix is stored in DIA planes (sparse.fsbsr.FSDIAMatrix) whose
+    SpMV is completely gather-free."""
+    use_dia = (
+        ctx.dia_offsets is not None and not chunk and scatter_method == "grouped"
+    )
+    if use_dia:
+        if elements_kernel == "pallas" and not scalar_implicit:
+            from dedflow_tpu.fem.pallas_kernels import ns_lhs_packed_pallas
+
+            upd = ns_lhs_packed_pallas(
+                ctx.lhs_geom, ctx.ien_t, w_alpha, phys, scheme
+            ).astype(w_alpha.dtype)
+        else:
+            ef = weakform.gather_fields(ctx.ien, w_alpha, dw_alpha)
+            upd = weakform.ns_lhs_packed(ctx, ef, phys, scheme, scalar_implicit)
+        data = scatter_matrix_dia(ctx, upd)
+        for fctx in face_ctxs:
+            data = data + scatter_face_matrix_dia(
+                fctx,
+                face_lhs_packed(fctx, w_alpha, dw_alpha, phys, scheme),
+                ctx.num_node,
+                len(ctx.dia_offsets),
+            )
+        from dedflow_tpu.sparse.fsbsr import FSDIAMatrix
+
+        return dirichlet.apply_mat(
+            mask, FSDIAMatrix(data=data, offsets=ctx.dia_offsets)
+        )
     if chunk:
         data = _chunked_jacobian_data(
             ctx, w_alpha, dw_alpha, phys, scheme, chunk, scalar_implicit

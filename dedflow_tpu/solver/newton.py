@@ -48,12 +48,12 @@ from dedflow_tpu.sparse.topology import build_sparsity
 
 def residual(
     ctx, face_ctxs, mask, wgold, dwgold, dwg, phys, scheme, freeze, chunk=None,
-    source=None, nodal_force=None,
+    source=None, nodal_force=None, scatter_method="segment",
 ):
     wa, dwa = ns.alpha_states(wgold, dwgold, dwg, scheme)
     return ns.assemble_residual(
         ctx, face_ctxs, mask, wa, dwa, phys, scheme, freeze, chunk, source,
-        nodal_force,
+        nodal_force, scatter_method,
     )
 
 
@@ -73,7 +73,7 @@ def assemble_system(
 
 def solve_update(
     ctx, face_ctxs, mask, jmat, pc, wgold, dwgold, dwg, f, phys, scheme, kcfg,
-    freeze, chunk=None, source=None, nodal_force=None,
+    freeze, chunk=None, source=None, nodal_force=None, scatter_method="segment",
 ):
     """GMRES(J) dx = F; dwg -= dx; reassemble F (main.c:211-265)."""
     sol = gmres(
@@ -88,7 +88,7 @@ def solve_update(
     dwg = dwg - sol.x  # main.c:226
     f = residual(
         ctx, face_ctxs, mask, wgold, dwgold, dwg, phys, scheme, freeze, chunk,
-        source, nodal_force,
+        source, nodal_force, scatter_method,
     )
     return dwg, f, ns.field_norms(f), sol.iters
 
@@ -107,7 +107,7 @@ def newton_iter(
     )
     return solve_update(
         ctx, face_ctxs, mask, jmat, pc, wgold, dwgold, dwg, f, phys, scheme,
-        kcfg, freeze, chunk, source, nodal_force,
+        kcfg, freeze, chunk, source, nodal_force, scatter_method,
     )
 
 
@@ -153,7 +153,7 @@ def step_fixed(
     dwg = predict(dwg, scheme)
     f = residual(
         ctx, face_ctxs, mask, wgold, dwgold, dwg, phys, scheme, freeze, chunk,
-        source, nodal_force,
+        source, nodal_force, scatter_method,
     )
 
     if lag_jacobian:
@@ -166,7 +166,7 @@ def step_fixed(
             dwg, f = carry
             dwg, f, _, _ = solve_update(
                 ctx, face_ctxs, mask, jmat, pc, wgold, dwgold, dwg, f, phys,
-                scheme, kcfg, freeze, chunk, source, nodal_force,
+                scheme, kcfg, freeze, chunk, source, nodal_force, scatter_method,
             )
             return dwg, f
 
@@ -235,7 +235,10 @@ class NSSolver:
         )
 
         self._residual = jax.jit(
-            partial(residual, phys=phys, scheme=scheme, freeze=freeze, chunk=chunk)
+            partial(
+                residual, phys=phys, scheme=scheme, freeze=freeze, chunk=chunk,
+                scatter_method=cfg.scatter_method,
+            )
         )
         self._norms = jax.jit(lambda f: ns.field_norms(f))
         self._newton_iter = jax.jit(partial(newton_iter, **static))
@@ -250,7 +253,7 @@ class NSSolver:
         self._solve_update = jax.jit(
             partial(
                 solve_update, phys=phys, scheme=scheme, kcfg=kcfg,
-                freeze=freeze, chunk=chunk,
+                freeze=freeze, chunk=chunk, scatter_method=cfg.scatter_method,
             )
         )
         self._predict = jax.jit(partial(predict, scheme=scheme))

@@ -93,13 +93,16 @@ def test_fsbsr_matches_block_bsr():
     )
 
 
-def test_prefix_scatter_matches_segment():
+def test_scatter_methods_match_segment():
     mesh, cfg, ctx, ef = _setup()
     upd = weakform.ns_lhs_packed(ctx, ef, cfg.physics, cfg.time)
     a = scatter_matrix_packed(ctx, upd, "segment")
-    b = scatter_matrix_packed(ctx, upd, "prefix")
     scale = float(jnp.max(jnp.abs(a)))
-    np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-6 * scale)
+    for method in ("prefix", "grouped"):
+        b = scatter_matrix_packed(ctx, upd, method)
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=1e-6 * scale, err_msg=method
+        )
 
 
 def test_packed_assembly_pipeline_runs():
@@ -117,3 +120,73 @@ def test_packed_assembly_pipeline_runs():
     x = jnp.asarray(rng.normal(size=(mesh.num_node, 6)))
     y = jmat.matvec(x)
     assert np.isfinite(np.asarray(y)).all()
+
+
+def test_grouped_residual_matches_segment():
+    mesh, cfg, ctx, ef = _setup()
+    from dedflow_tpu.fem.assembly import scatter_residual, scatter_residual_grouped
+
+    fe = weakform.ns_residual_elements(ctx, ef, cfg.physics, cfg.time)
+    a = np.asarray(scatter_residual(ctx, fe))
+    b = np.asarray(scatter_residual_grouped(ctx, fe))
+    np.testing.assert_allclose(b, a, rtol=1e-12, atol=1e-13)
+
+
+def test_dia_matrix_matches_ell():
+    """Auto-detected DIA storage (lattice meshes) == the ELL matrix:
+    same dense expansion, same matvec, same Dirichlet rows, same diag."""
+    from dedflow_tpu.fem.assembly import scatter_matrix_dia
+    from dedflow_tpu.sparse.fsbsr import FSDIAMatrix
+
+    mesh, cfg, ctx, ef = _setup()
+    assert ctx.dia_offsets is not None and 0 in ctx.dia_offsets
+    upd = weakform.ns_lhs_packed(ctx, ef, cfg.physics, cfg.time)
+    ell = fsbsr_from_data(ctx, scatter_matrix_packed(ctx, upd, "segment"))
+    dia = FSDIAMatrix(data=scatter_matrix_dia(ctx, upd), offsets=ctx.dia_offsets)
+    np.testing.assert_allclose(
+        dia.to_block_dense(), ell.to_block_dense(), rtol=1e-11, atol=1e-11
+    )
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(ctx.num_node, 6)))
+    np.testing.assert_allclose(
+        np.asarray(dia.matvec(x)), np.asarray(ell.matvec(x)), rtol=1e-10,
+        atol=1e-11,
+    )
+    np.testing.assert_allclose(
+        np.asarray(dia.diag_vel_blocks()), np.asarray(ell.diag_vel_blocks()),
+        rtol=1e-12,
+    )
+    mask = jnp.asarray(rng.random((ctx.num_node, 6)) < 0.3)
+    np.testing.assert_allclose(
+        dia.zero_rows(mask).to_block_dense(),
+        ell.zero_rows(mask).to_block_dense(),
+        rtol=1e-11, atol=1e-11,
+    )
+
+
+def test_dia_full_jacobian_matvec_matches():
+    """assemble_jacobian DIA path (grouped) == ELL path (segment), through
+    faces + Dirichlet."""
+    from dedflow_tpu.app.scenarios import reference_scenario_config
+    from dedflow_tpu.solver.newton import NSSolver
+
+    mesh = box_mesh(3, 2, 2)
+    cfg = reference_scenario_config()
+    s = NSSolver(mesh, cfg)
+    wg, dwgold, dwg = (jnp.asarray(x) for x in reference_initial_state(mesh))
+    rng = np.random.default_rng(1)
+    dwg = dwg + 0.1 * jnp.asarray(rng.normal(size=dwg.shape))
+    wa, dwa = ns.alpha_states(wg, dwgold, dwg, cfg.time)
+    j_ell = ns.assemble_jacobian(
+        s.ctx, s.face_ctxs, s.mask, wa, dwa, cfg.physics, cfg.time,
+        None, "segment",
+    )
+    j_dia = ns.assemble_jacobian(
+        s.ctx, s.face_ctxs, s.mask, wa, dwa, cfg.physics, cfg.time,
+        None, "grouped",
+    )
+    x = jnp.asarray(rng.normal(size=(mesh.num_node, 6)))
+    np.testing.assert_allclose(
+        np.asarray(j_dia.matvec(x)), np.asarray(j_ell.matvec(x)),
+        rtol=1e-9, atol=1e-10,
+    )

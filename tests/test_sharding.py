@@ -132,3 +132,36 @@ def test_shardmap_spmv_and_dots_match_single_device():
     np.testing.assert_allclose(
         float(nrm(x)), np.linalg.norm(x_np.ravel()), rtol=1e-10
     )
+
+
+def test_sharded_melt_pool_with_source_matches():
+    """Sharded execution with implicit scalars + a heat source (the
+    melt-pool configuration) matches single-chip."""
+    import dataclasses
+
+    from dedflow_tpu.app.scenarios import (
+        laser_source,
+        melt_pool_initial_state,
+        melt_pool_scenario_config,
+    )
+
+    mesh = box_mesh(4, 3, 3)
+    cfg = melt_pool_scenario_config()
+    wg0, dwgold0, dwg0 = melt_pool_initial_state(mesh)
+    src0 = laser_source(cfg.physics.laser, mesh.xg, 0.01)
+
+    ref = NSSolver(mesh, cfg)
+    w1, d1, g1 = ref.step_fixed(
+        jax.numpy.asarray(wg0), jax.numpy.asarray(dwgold0),
+        jax.numpy.asarray(dwg0), num_newton=2,
+        source=jax.numpy.asarray(src0),
+    )
+
+    dmesh = jax.make_mesh((4,), ("dd",))
+    sh = ShardedNSSolver(mesh, cfg, dmesh)
+    ws, ds, gs = (sh.shard_state(x) for x in (wg0, dwgold0, dwg0))
+    srcs = sh.shard_state(src0)
+    w2, d2, g2 = sh.step_fixed(ws, ds, gs, num_newton=2, source=srcs)
+    np.testing.assert_allclose(
+        sh.gather_state(w2), np.asarray(w1), rtol=1e-6, atol=1e-9
+    )
