@@ -129,7 +129,7 @@ def main() -> None:
         wa, dwa = ns.alpha_states(wg, dwgold, dwg, scheme)
         return ns.assemble_residual(
             ctx, face_ctxs, mask, wa, dwa, phys, scheme, True, chunk,
-            None, None, method,
+            None, None, method, cfg.elements_kernel,
         )
 
     def jac(ctx, face_ctxs, mask, wg, dwgold, dwg):

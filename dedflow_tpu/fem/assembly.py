@@ -62,6 +62,7 @@ class FEMContext:
     # transposed inputs for the fused Pallas element kernel
     ien_t: jnp.ndarray  # (4, ne) int32
     lhs_geom: jnp.ndarray  # (15, ne) pallas_kernels.lhs_geom_rows
+    res_geom: jnp.ndarray  # (19, ne) pallas_kernels.res_geom_rows
     # grouped-scatter plan: (e,a) groups padded per row (see
     # scatter_matrix_packed method="grouped")
     grp_gidx: jnp.ndarray  # (N*G,) int32 group gather index; fill = ne*4
@@ -157,9 +158,10 @@ def build_context(
         grp_plane_np[gvalid] = plane_tbl[gidx[gvalid]]
         grp_plane = jnp.asarray(grp_plane_np.reshape(-1))
 
-    from dedflow_tpu.fem.pallas_kernels import lhs_geom_rows
+    from dedflow_tpu.fem.pallas_kernels import lhs_geom_rows, res_geom_rows
 
     return FEMContext(
+        res_geom=res_geom_rows(geom.shgrad, geom.det_j, geom.metric),
         grp_gidx=jnp.asarray(gidx.reshape(-1).astype(np.int32)),
         grp_slot=jnp.asarray(grp_slot.reshape(-1)),
         grp_plane=grp_plane,

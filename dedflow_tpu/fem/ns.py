@@ -112,6 +112,7 @@ def assemble_residual(
     source: jnp.ndarray | None = None,
     nodal_force: jnp.ndarray | None = None,
     scatter_method: str = "segment",
+    elements_kernel: str = "xla",
 ) -> jnp.ndarray:
     """Global residual F (N, 6). `source` (N,) is a nodal volumetric heat
     source (e.g. the moving laser, app.scenarios.laser_source);
@@ -120,9 +121,16 @@ def assemble_residual(
     if chunk:
         f = _chunked_residual(ctx, w_alpha, dw_alpha, phys, scheme, chunk, source)
     else:
-        ef = weakform.gather_fields(ctx.ien, w_alpha, dw_alpha)
-        src_e = None if source is None else source[ctx.ien]
-        fe = weakform.ns_residual_elements(ctx, ef, phys, scheme, src_e)
+        if elements_kernel == "pallas":
+            from dedflow_tpu.fem.pallas_kernels import ns_residual_pallas
+
+            fe = ns_residual_pallas(
+                ctx.res_geom, ctx.ien_t, w_alpha, dw_alpha, phys, scheme, source
+            ).astype(w_alpha.dtype)
+        else:
+            ef = weakform.gather_fields(ctx.ien, w_alpha, dw_alpha)
+            src_e = None if source is None else source[ctx.ien]
+            fe = weakform.ns_residual_elements(ctx, ef, phys, scheme, src_e)
         if scatter_method == "grouped":
             f = scatter_residual_grouped(ctx, fe)
         else:

@@ -168,6 +168,198 @@ def _lhs_kernel(inp_ref, out_ref, *, rho, mu, f1, f2, dt):
     out_ref[:, :] = stacked.reshape(288, det.shape[1])
 
 
+def res_geom_rows(shgrad, det_j, metric) -> jnp.ndarray:
+    """(19, ne) static geometry rows for the residual kernel: 12 transposed
+    shape gradients (row i*4+a), det_j, and the 6 unique metric entries
+    (m00, m01, m02, m11, m12, m22)."""
+    ne = shgrad.shape[0]
+    sh_t = shgrad.transpose(2, 1, 0).reshape(12, ne)
+    m = metric
+    m6 = jnp.stack(
+        [m[:, 0, 0], m[:, 0, 1], m[:, 0, 2], m[:, 1, 1], m[:, 1, 2], m[:, 2, 2]]
+    )
+    return jnp.concatenate([sh_t, det_j[None, :], m6])
+
+
+def _res_kernel(inp_ref, out_ref, *, rho, mu, cp, kappa, fb, dt):
+    """Fused VMS residual element kernel (AssembleWeakFormKernel<TENSOR=1>,
+    assemble.cu:761-924 + the heat-source term). Input rows:
+    [0:12) sh (i*4+a), 12 det, [13:19) metric6, [19:31) u, [31:43) du,
+    [43:47) p, [47:51) phi, [51:55) T, [55:59) dphi, [59:63) dT,
+    [63:67) src. Output (24, E): rows a*6+c of the (4, 6) element residual.
+    """
+    f32 = jnp.float32
+    sh = [inp_ref[4 * i : 4 * (i + 1), :] for i in range(3)]
+    det = inp_ref[12:13, :]
+    m6 = [inp_ref[13 + k : 14 + k, :] for k in range(6)]
+    u = [inp_ref[19 + 4 * i : 23 + 4 * i, :] for i in range(3)]
+    du = [inp_ref[31 + 4 * i : 35 + 4 * i, :] for i in range(3)]
+    p = inp_ref[43:47, :]
+    phi = inp_ref[47:51, :]
+    temp = inp_ref[51:55, :]
+    dphi = inp_ref[55:59, :]
+    dtemp = inp_ref[59:63, :]
+    src = inp_ref[63:67, :]
+
+    m00, m01, m02, m11, m12, m22 = m6
+    gg = (
+        m00 * m00 + m11 * m11 + m22 * m22
+        + 2.0 * (m01 * m01 + m02 * m02 + m12 * m12)
+    )
+    tr = m00 + m11 + m22
+    tr = jnp.where(tr > 0.0, tr, 1.0)
+    nu = mu / rho
+    alpha_th = kappa / (rho * cp)
+    t0 = 4.0 / (dt * dt)
+
+    def rows_dot(nodal, grad_i):  # Σ_a nodal[a] * grad_i[a] -> (1, E)
+        return jnp.sum(nodal * grad_i, axis=0, keepdims=True)
+
+    # constant P1 gradients
+    grad_u = [[rows_dot(u[i], sh[j]) for j in range(3)] for i in range(3)]
+    grad_p = [rows_dot(p, sh[i]) for i in range(3)]
+    grad_phi = [rows_dot(phi, sh[i]) for i in range(3)]
+    grad_t = [rows_dot(temp, sh[i]) for i in range(3)]
+    divu = grad_u[0][0] + grad_u[1][1] + grad_u[2][2]
+
+    fm = [jnp.zeros_like(sh[0]) for _ in range(3)]  # (4, E) per i
+    fc = jnp.zeros_like(sh[0])
+    fphi = jnp.zeros_like(sh[0])
+    ft = jnp.zeros_like(sh[0])
+    for q in range(4):
+        wq = float(_GW[q])
+        shl_a = _node_const(_SHL[q])  # (4, 1)
+        qval = lambda nodal: jnp.sum(shl_a * nodal, axis=0, keepdims=True)
+        uq = [qval(u[i]) for i in range(3)]
+        duq = [qval(du[i]) for i in range(3)]
+        pq = qval(p)
+        dphiq = qval(dphi)
+        dtempq = qval(dtemp)
+        srcq = qval(src)
+
+        t1 = (
+            m00 * uq[0] * uq[0] + m11 * uq[1] * uq[1] + m22 * uq[2] * uq[2]
+            + 2.0 * (m01 * uq[0] * uq[1] + m02 * uq[0] * uq[2]
+                     + m12 * uq[1] * uq[2])
+        )
+        tau_m = jax.lax.rsqrt(t0 + t1 + 3.0 * nu * nu * gg) / rho
+        tau_c = jnp.sqrt(t1 + 3.0 * nu * nu * gg) / tr
+        tau_phi = jax.lax.rsqrt(t0 + t1)
+        tau_t = jax.lax.rsqrt(
+            t0 + t1 + 3.0 * alpha_th * alpha_th * gg
+        ) / (rho * cp)
+
+        conv = [
+            uq[0] * grad_u[i][0] + uq[1] * grad_u[i][1] + uq[2] * grad_u[i][2]
+            for i in range(3)
+        ]
+        r_l = [rho * (duq[i] - fb[i] + conv[i]) + grad_p[i] for i in range(3)]
+        ucor = [uq[i] - tau_m * r_l[i] for i in range(3)]
+        tmp0 = [
+            rho * (duq[i] - fb[i]
+                   + ucor[0] * grad_u[i][0] + ucor[1] * grad_u[i][1]
+                   + ucor[2] * grad_u[i][2])
+            for i in range(3)
+        ]
+        diag = -pq + rho * tau_c * divu
+        # momentum rows: wq*(shl_a*tmp0_i + Σ_j sh_j * tmp1[i][j])
+        for i in range(3):
+            acc = shl_a * tmp0[i]  # (4, E)
+            for j in range(3):
+                t1ij = (
+                    mu * (grad_u[i][j] + grad_u[j][i])
+                    + rho * tau_m * r_l[i] * uq[j]
+                    - rho * tau_m * tau_m * r_l[i] * r_l[j]
+                )
+                if i == j:
+                    t1ij = t1ij + diag
+                acc = acc + sh[j] * t1ij
+            fm[i] = fm[i] + wq * acc
+        # continuity
+        fc = fc + wq * (
+            shl_a * divu
+            + tau_m * (sh[0] * r_l[0] + sh[1] * r_l[1] + sh[2] * r_l[2])
+        )
+        # scalar transport
+        shconv = uq[0] * sh[0] + uq[1] * sh[1] + uq[2] * sh[2]  # (4, E)
+        adv_phi = dphiq + (uq[0] * grad_phi[0] + uq[1] * grad_phi[1]
+                           + uq[2] * grad_phi[2])
+        fphi = fphi + wq * adv_phi * (shl_a + tau_phi * shconv)
+        adv_t = rho * cp * (dtempq + uq[0] * grad_t[0] + uq[1] * grad_t[1]
+                            + uq[2] * grad_t[2])
+        ft = ft + wq * (adv_t - srcq) * (shl_a + rho * cp * tau_t * shconv)
+
+    # diffusion term of T (constant gradients: no quadrature loop)
+    ft = ft + _GWSUM * kappa * (
+        sh[0] * grad_t[0] + sh[1] * grad_t[1] + sh[2] * grad_t[2]
+    )
+
+    comps = jnp.stack(fm + [fc, fphi, ft], axis=1)  # (4, 6, E)
+    out_ref[:, :] = (comps * det).reshape(24, det.shape[1])
+
+
+def ns_residual_pallas(
+    res_geom: jnp.ndarray,  # (19, ne) from res_geom_rows
+    ien_t: jnp.ndarray,  # (4, ne)
+    w_alpha: jnp.ndarray,  # (N, 6)
+    dw_alpha: jnp.ndarray,  # (N, 6)
+    phys: Physics,
+    scheme: TimeScheme,
+    source: jnp.ndarray | None = None,  # (N,)
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(ne, 4, 6) element residuals == weakform.ns_residual_elements,
+    fused into one Pallas pass."""
+    ne = res_geom.shape[1]
+    f32 = jnp.float32
+    # ONE wide row-gather per state array (TPU gathers are ~10-100x faster
+    # on wide rows), then component rows via a single transpose each.
+    ien = ien_t.T  # (ne, 4)
+    we = w_alpha.astype(f32)[ien]  # (ne, 4, 6)
+    dwe = dw_alpha.astype(f32)[ien]
+    rows = lambda a: a.transpose(2, 1, 0).reshape(-1, ne)  # (ne,4,k)->(k*4,ne)
+    u_t = rows(we[..., :3])  # (12, ne) row i*4+a
+    du_t = rows(dwe[..., :3])
+    p_t = dwe[..., 3].T  # (4, ne)  (pressure travels in the rate slot)
+    phi_t = we[..., 4].T
+    temp_t = we[..., 5].T
+    dphi_t = dwe[..., 4].T
+    dtemp_t = dwe[..., 5].T
+    src_t = (
+        jnp.zeros((4, ne), f32) if source is None else source.astype(f32)[ien].T
+    )
+    inp = jnp.concatenate(
+        [res_geom.astype(f32), u_t, du_t, p_t, phi_t, temp_t, dphi_t,
+         dtemp_t, src_t]
+    )  # (67, ne)
+
+    ne_pad = (ne + _E - 1) // _E * _E
+    if ne_pad != ne:
+        inp = jnp.pad(inp, ((0, 0), (0, ne_pad - ne)))
+    kern = functools.partial(
+        _res_kernel,
+        rho=float(phys.rho),
+        mu=float(phys.mu),
+        cp=float(phys.cp),
+        kappa=float(phys.kappa),
+        fb=tuple(float(v) for v in phys.body_force),
+        dt=float(scheme.dt),
+    )
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((24, ne_pad), f32),
+        grid=(ne_pad // _E,),
+        in_specs=[
+            pl.BlockSpec((67, _E), lambda k: (0, k), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec(
+            (24, _E), lambda k: (0, k), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(inp)
+    return out[:, :ne].reshape(4, 6, ne).transpose(2, 0, 1)
+
+
 def lhs_geom_rows(shgrad, det_j, metric) -> jnp.ndarray:
     """(15, ne) static geometry rows for the LHS kernel: 12 transposed
     shape gradients (row i*4+a), det_j, gg, tr. Precompute once per mesh
@@ -191,10 +383,10 @@ def ns_lhs_packed_pallas(
     (frozen-scalar mode); the fused single-pass TPU path."""
     ne = geom_rows.shape[1]
     f32 = jnp.float32
-    # transposed nodal-velocity gather: row i*4+a without any transpose op
-    u_t = jnp.concatenate(
-        [w_alpha[:, i].astype(f32)[ien_t] for i in range(3)]
-    )  # (12, ne)
+    # ONE wide row-gather (ne, 4, 3), then the transpose to (12, ne) rows
+    # (i*4+a): wide gathers are ~10-100x faster than per-component ones.
+    ue = w_alpha[:, :3].astype(f32)[ien_t.T]  # (ne, 4, 3)
+    u_t = ue.transpose(2, 1, 0).reshape(12, ne)
     inp = jnp.concatenate(
         [geom_rows[:12].astype(f32), u_t, geom_rows[12:].astype(f32)]
     )

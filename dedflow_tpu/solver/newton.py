@@ -49,11 +49,12 @@ from dedflow_tpu.sparse.topology import build_sparsity
 def residual(
     ctx, face_ctxs, mask, wgold, dwgold, dwg, phys, scheme, freeze, chunk=None,
     source=None, nodal_force=None, scatter_method="segment",
+    elements_kernel="xla",
 ):
     wa, dwa = ns.alpha_states(wgold, dwgold, dwg, scheme)
     return ns.assemble_residual(
         ctx, face_ctxs, mask, wa, dwa, phys, scheme, freeze, chunk, source,
-        nodal_force, scatter_method,
+        nodal_force, scatter_method, elements_kernel,
     )
 
 
@@ -74,6 +75,7 @@ def assemble_system(
 def solve_update(
     ctx, face_ctxs, mask, jmat, pc, wgold, dwgold, dwg, f, phys, scheme, kcfg,
     freeze, chunk=None, source=None, nodal_force=None, scatter_method="segment",
+    elements_kernel="xla",
 ):
     """GMRES(J) dx = F; dwg -= dx; reassemble F (main.c:211-265)."""
     sol = gmres(
@@ -88,7 +90,7 @@ def solve_update(
     dwg = dwg - sol.x  # main.c:226
     f = residual(
         ctx, face_ctxs, mask, wgold, dwgold, dwg, phys, scheme, freeze, chunk,
-        source, nodal_force, scatter_method,
+        source, nodal_force, scatter_method, elements_kernel,
     )
     return dwg, f, ns.field_norms(f), sol.iters
 
@@ -108,6 +110,7 @@ def newton_iter(
     return solve_update(
         ctx, face_ctxs, mask, jmat, pc, wgold, dwgold, dwg, f, phys, scheme,
         kcfg, freeze, chunk, source, nodal_force, scatter_method,
+        elements_kernel,
     )
 
 
@@ -153,7 +156,7 @@ def step_fixed(
     dwg = predict(dwg, scheme)
     f = residual(
         ctx, face_ctxs, mask, wgold, dwgold, dwg, phys, scheme, freeze, chunk,
-        source, nodal_force, scatter_method,
+        source, nodal_force, scatter_method, elements_kernel,
     )
 
     if lag_jacobian:
@@ -167,6 +170,7 @@ def step_fixed(
             dwg, f, _, _ = solve_update(
                 ctx, face_ctxs, mask, jmat, pc, wgold, dwgold, dwg, f, phys,
                 scheme, kcfg, freeze, chunk, source, nodal_force, scatter_method,
+                elements_kernel,
             )
             return dwg, f
 
@@ -238,6 +242,7 @@ class NSSolver:
             partial(
                 residual, phys=phys, scheme=scheme, freeze=freeze, chunk=chunk,
                 scatter_method=cfg.scatter_method,
+                elements_kernel=cfg.elements_kernel,
             )
         )
         self._norms = jax.jit(lambda f: ns.field_norms(f))
@@ -254,6 +259,7 @@ class NSSolver:
             partial(
                 solve_update, phys=phys, scheme=scheme, kcfg=kcfg,
                 freeze=freeze, chunk=chunk, scatter_method=cfg.scatter_method,
+                elements_kernel=cfg.elements_kernel,
             )
         )
         self._predict = jax.jit(partial(predict, scheme=scheme))
