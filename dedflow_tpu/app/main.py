@@ -143,6 +143,13 @@ def main(argv=None) -> int:
         overrides["save_every"] = args.save_every
     if args.chunk is not None:
         overrides["assembly_chunk"] = args.chunk
+    # fast TPU defaults for built-in scenarios (explicit config wins):
+    # grouped wide-row scatter + fused Pallas element kernels
+    if not args.config and devs[0].platform == "tpu":
+        overrides.setdefault("scatter_method", "grouped")
+        # the Jacobian path falls back to XLA by itself when the scalar
+        # blocks are implicit; the residual kernel supports every mode
+        overrides.setdefault("elements_kernel", "pallas")
     if overrides:
         cfg = dataclasses.replace(cfg, **overrides)
     dtype = None

