@@ -27,6 +27,9 @@ import jax
 import jax.numpy as jnp
 
 
+_CGS_B = 8  # Gram-Schmidt block size (basis rows streamed per step)
+
+
 class KrylovInfo(NamedTuple):
     x: jnp.ndarray
     iters: jnp.ndarray  # iterations performed
@@ -75,14 +78,20 @@ def gmres(
     beta0 = jnp.linalg.norm(r0)
     tol = jnp.maximum(atol, (beta0 + 1e-16) * rtol)
 
-    Q = jnp.zeros((maxit + 1, n), dtype=dtype)
+    # basis rows padded to blocks of _CGS_B: the orthogonalization streams
+    # only the ACTIVE blocks (fori_loop with a traced bound), not the full
+    # (maxit+1, n) matrix - on TPU the masked full-width matmul is
+    # bandwidth-bound on Q, so this halves the dominant GMRES traffic.
+    bsz = _CGS_B
+    nrows = (maxit + 1 + bsz - 1) // bsz * bsz
+    Q = jnp.zeros((nrows, n), dtype=dtype)
     Q = Q.at[0].set(r0 / jnp.maximum(beta0, eps))
     H = jnp.zeros((maxit, maxit), dtype=dtype)
     cs = jnp.zeros(maxit, dtype=dtype)
     sn = jnp.zeros(maxit, dtype=dtype)
     beta = jnp.zeros(maxit + 1, dtype=dtype).at[0].set(beta0)
 
-    idx = jnp.arange(maxit + 1)
+    idx = jnp.arange(nrows)
 
     def cond(carry):
         Q, H, cs, sn, beta, it, done = carry
@@ -90,27 +99,53 @@ def gmres(
 
     def body(carry):
         Q, H, cs, sn, beta, it, done = carry
-        q = Q[it].reshape(shape)
+        q = jax.lax.dynamic_slice_in_dim(Q, it, 1, axis=0)[0].reshape(shape)
         w = _flat(matvec(pc(q)))
-        # CGS: h = Q^T w over the active basis (masked full-width matmul,
-        # reference krylov.c:163-186).
-        mask = (idx <= it).astype(dtype)
-        h = (Q @ w) * mask
-        w = w - Q.T @ h
+        # CGS over the active blocks only (reference krylov.c:163-186)
+        nb = it // bsz + 1
+
+        def proj(bi, h):
+            qb = jax.lax.dynamic_slice_in_dim(Q, bi * bsz, bsz, axis=0)
+            hb = qb @ w
+            ib = bi * bsz + jnp.arange(bsz)
+            hb = jnp.where(ib <= it, hb, 0.0)
+            return jax.lax.dynamic_update_slice(h, hb, (bi * bsz,))
+
+        h = jax.lax.fori_loop(0, nb, proj, jnp.zeros(nrows, dtype=dtype))
+
+        def subtract(bi, w):
+            qb = jax.lax.dynamic_slice_in_dim(Q, bi * bsz, bsz, axis=0)
+            hb = jax.lax.dynamic_slice_in_dim(h, bi * bsz, bsz)
+            return w - qb.T @ hb
+
+        w = jax.lax.fori_loop(0, nb, subtract, w)
+        h = h[: maxit + 1]
         hnext = jnp.linalg.norm(w)
-        Q = Q.at[it + 1].set(w / jnp.maximum(hnext, eps))
+        Q = jax.lax.dynamic_update_slice(
+            Q,
+            (w / jnp.maximum(hnext, eps))[None, :],
+            (it + 1, jnp.zeros((), it.dtype)),
+        )
 
         # Apply accumulated Givens rotations to the new column
-        # (krylov.c:258-263).
-        def rot(i, hv):
-            hi = hv[i]
-            hi1 = hv[i + 1]
-            do = (i < it).astype(dtype)
-            new_i = jnp.where(do > 0, cs[i] * hi + sn[i] * hi1, hi)
-            new_i1 = jnp.where(do > 0, -sn[i] * hi + cs[i] * hi1, hi1)
-            return hv.at[i].set(new_i).at[i + 1].set(new_i1)
+        # (krylov.c:258-263). The rotation chain is a first-order linear
+        # recurrence carry_{i+1} = -s_i carry_i + c_i h_{i+1}, so it runs
+        # as a log-depth associative scan instead of a 120-step sequential
+        # loop per GMRES iteration.
+        iarange = jnp.arange(maxit)
+        active = iarange < it
+        ce = jnp.where(active, cs, 1.0)
+        se = jnp.where(active, sn, 0.0)
+        a = -se
+        bvec = ce * h[1:]
 
-        hcol = jax.lax.fori_loop(0, maxit, rot, h)
+        def comb(l, r):
+            return (r[0] * l[0], r[0] * l[1] + r[1])
+
+        pa, pb = jax.lax.associative_scan(comb, (a, bvec))
+        carr = jnp.concatenate([h[:1], pa * h[0] + pb])  # carry_0..maxit
+        new_head = ce * carr[:maxit] + se * h[1:]
+        hcol = jnp.concatenate([new_head, carr[maxit:]])
 
         # New rotation eliminating hnext (krylov.c:266).
         hk = hcol[it]
