@@ -35,6 +35,9 @@ class CoupledConfig:
     dem: DEMConfig
     drag_mu: float = 1.0e-3  # fluid viscosity for the Stokes drag law
     substeps: int = 10  # DEM substeps per fluid step
+    # use the dense grid-resident DEM path (dem.grid; ~4x faster on TPU at
+    # 100k particles); requires uniform particle mass
+    use_grid: bool = False
 
 
 class CoupledSolver:
@@ -54,7 +57,14 @@ class CoupledSolver:
         wg, dwgold, dwg, stats = self.fluid.step(
             wg, dwgold, dwg, nodal_force=f_nodes.astype(wg.dtype)
         )
-        pstate = dem_run(
-            self.ccfg.dem, pstate, self.ccfg.substeps, ext=f_p
-        )
+        if self.ccfg.use_grid:
+            from dedflow_tpu.dem.grid import dem_run_grid
+
+            pstate = dem_run_grid(
+                self.ccfg.dem, pstate, self.ccfg.substeps, ext=f_p
+            )
+        else:
+            pstate = dem_run(
+                self.ccfg.dem, pstate, self.ccfg.substeps, ext=f_p
+            )
         return wg, dwgold, dwg, pstate, stats

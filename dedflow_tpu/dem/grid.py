@@ -86,7 +86,7 @@ def from_grid(grid: CellGrid, gs: GridState, num_particle: int) -> ParticleState
     """Grid slots -> (P,) particle arrays via one scatter by pid."""
     p = num_particle
 
-    def take(comp_flat, width=None):
+    def take(comp_flat):
         out = jnp.zeros((p,), comp_flat.dtype)
         return out.at[gs.pid.reshape(-1)].set(comp_flat.reshape(-1), mode="drop")
 
@@ -206,10 +206,13 @@ def grid_run(cfg: DEMConfig, gs: GridState, mass: float, num_steps: int,
 
 
 def dem_run_grid(cfg: DEMConfig, state: ParticleState, num_steps: int,
-                 rebuild_every: int = 20) -> ParticleState:
+                 rebuild_every: int = 20,
+                 ext: jnp.ndarray | None = None) -> ParticleState:
     """Grid-resident DEM driver: rebuild buckets every `rebuild_every`
     substeps, integrate densely in between. Uniform mass assumed (the
-    reference hard-codes mass = 1.0, Particle.c:22)."""
+    reference hard-codes mass = 1.0, Particle.c:22). `ext` (P, 3) is an
+    external per-particle force (e.g. fluid drag), mapped onto the grid at
+    each rebuild."""
     p = state.num_particle
     mass = float(np.asarray(state.mass)[0])
     done = 0
@@ -217,7 +220,12 @@ def dem_run_grid(cfg: DEMConfig, state: ParticleState, num_steps: int,
     while done < num_steps:
         n = min(rebuild_every, num_steps - done)
         gs = to_grid(cfg.grid, cur, p)
-        gs = grid_run(cfg, gs, mass, n)
+        ext_g = None
+        if ext is not None:
+            safe = jnp.minimum(gs.pid, p - 1)
+            real = (gs.pid < p).astype(gs.mask.dtype)
+            ext_g = tuple(ext[:, c][safe] * real for c in range(3))
+        gs = grid_run(cfg, gs, mass, n, ext_g)
         new = from_grid(cfg.grid, gs, p)
         cur = ParticleState(x=new.x, v=new.v, a=new.a, mass=state.mass,
                             radius=state.radius)

@@ -197,19 +197,23 @@ def test_coupled_fem_dem_step():
         walls_lo=(0.0, 0.0, 0.0),
         walls_hi=(1.0, 1.0, 1.0),
     )
-    solver = CoupledSolver(
-        mesh, cfg, CoupledConfig(dem=dem_cfg, drag_mu=5.0, substeps=10)
-    )
-    wg, dwgold, dwg = (jnp.asarray(x) for x in reference_initial_state(mesh))
-    x0 = np.asarray(pst.x)
-    for _ in range(3):
-        wg, dwgold, dwg, pst, stats = solver.step(wg, dwgold, dwg, pst)
-        assert np.isfinite(np.asarray(wg)).all()
-        assert np.isfinite(np.asarray(pst.x)).all()
-    dx = np.asarray(pst.x) - x0
-    # flow is +x: particles drifted downstream, much less across
-    assert dx[:, 0].mean() > 1e-4
-    assert abs(dx[:, 1].mean()) < dx[:, 0].mean()
+    for use_grid in (False, True):
+        solver = CoupledSolver(
+            mesh, cfg,
+            CoupledConfig(dem=dem_cfg, drag_mu=5.0, substeps=10,
+                          use_grid=use_grid),
+        )
+        wg, dwgold, dwg = (jnp.asarray(x) for x in reference_initial_state(mesh))
+        pst_i = pst
+        x0 = np.asarray(pst_i.x)
+        for _ in range(3):
+            wg, dwgold, dwg, pst_i, stats = solver.step(wg, dwgold, dwg, pst_i)
+            assert np.isfinite(np.asarray(wg)).all()
+            assert np.isfinite(np.asarray(pst_i.x)).all()
+        dx = np.asarray(pst_i.x) - x0
+        # flow is +x: particles drifted downstream, much less across
+        assert dx[:, 0].mean() > 1e-4, use_grid
+        assert abs(dx[:, 1].mean()) < dx[:, 0].mean(), use_grid
 
 
 def test_grid_dem_matches_candidate_path():
