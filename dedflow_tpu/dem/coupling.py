@@ -51,7 +51,7 @@ def element_grid(
 
 @partial(jax.jit, static_argnums=0)
 def locate(
-    grid: CellGrid, ctx: FEMContext, x_p: jnp.ndarray, tol: float = 1.0e-10
+    grid: CellGrid, ctx: FEMContext, x_p: jnp.ndarray, tol: float | None = None
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Find the containing tet of each point.
 
@@ -60,7 +60,14 @@ def locate(
     of fem.element (x(xi) = x_0 + J xi), the reference coordinates of a
     point are xi = J^-1 (p - x_0) and the P1 weights are
     (1 - sum(xi), xi_1, xi_2, xi_3).
+
+    `tol` (the barycentric slack accepting points on element faces) scales
+    with the dtype: f32 roundoff in xi is ~1e-7, so the f64 default of
+    1e-10 would report face-adjacent particles as "not found" and silently
+    drop their drag force for a step.
     """
+    if tol is None:
+        tol = 1.0e-10 if x_p.dtype == jnp.float64 else 1.0e-5
     p = x_p.shape[0]
     centroids = jnp.mean(ctx.xg[ctx.ien], axis=1)  # (ne, 3)
     buckets = build_buckets(grid, centroids)

@@ -82,17 +82,30 @@ def to_grid(grid: CellGrid, state: ParticleState, num_particle: int) -> GridStat
 
 
 @partial(jax.jit, static_argnums=(0, 2))
-def from_grid(grid: CellGrid, gs: GridState, num_particle: int) -> ParticleState:
-    """Grid slots -> (P,) particle arrays via one scatter by pid."""
+def from_grid(
+    grid: CellGrid,
+    gs: GridState,
+    num_particle: int,
+    prev: ParticleState | None = None,
+) -> ParticleState:
+    """Grid slots -> (P,) particle arrays via one scatter by pid.
+
+    `prev` seeds the outputs: a particle that was dropped by a bucket
+    overflow in to_grid (rank >= capacity) has no slot on the grid, so
+    without a seed it would silently re-emerge at x = 0 with v = 0.
+    Seeded, it carries its pre-substep state through unchanged (it simply
+    skips this integration window)."""
     p = num_particle
 
-    def take(comp_flat):
-        out = jnp.zeros((p,), comp_flat.dtype)
+    def take(comp_flat, seed):
+        out = seed if seed is not None else jnp.zeros((p,), comp_flat.dtype)
         return out.at[gs.pid.reshape(-1)].set(comp_flat.reshape(-1), mode="drop")
 
-    x = jnp.stack([take(gs.pos[c]) for c in range(3)], axis=-1)
-    v = jnp.stack([take(gs.vel[c]) for c in range(3)], axis=-1)
-    r = take(gs.radius)
+    px = (None, None, None) if prev is None else tuple(prev.x[:, c] for c in range(3))
+    pv = (None, None, None) if prev is None else tuple(prev.v[:, c] for c in range(3))
+    x = jnp.stack([take(gs.pos[c], px[c]) for c in range(3)], axis=-1)
+    v = jnp.stack([take(gs.vel[c], pv[c]) for c in range(3)], axis=-1)
+    r = take(gs.radius, None if prev is None else prev.radius)
     return ParticleState(x=x, v=v, a=jnp.zeros_like(x), mass=None, radius=r)
 
 
@@ -226,7 +239,7 @@ def dem_run_grid(cfg: DEMConfig, state: ParticleState, num_steps: int,
             real = (gs.pid < p).astype(gs.mask.dtype)
             ext_g = tuple(ext[:, c][safe] * real for c in range(3))
         gs = grid_run(cfg, gs, mass, n, ext_g)
-        new = from_grid(cfg.grid, gs, p)
+        new = from_grid(cfg.grid, gs, p, prev=cur)
         cur = ParticleState(x=new.x, v=new.v, a=new.a, mass=state.mass,
                             radius=state.radius)
         done += n

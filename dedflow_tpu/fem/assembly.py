@@ -128,35 +128,46 @@ def build_context(
     # grouped-scatter plan: the (e, a) pairs hitting row r, padded to the
     # max count G. Wide (4x18-float) gather rows run ~10x faster than
     # per-update rows on TPU (see scatter_matrix_packed "grouped").
-    ga_rows = ien_np.ravel()  # row of group g = e*4 + a
-    ng = ga_rows.size
-    gcounts = np.bincount(ga_rows, minlength=n)
-    gmax = int(gcounts.max()) if ng else 0
-    goff = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum(gcounts, out=goff[1:])
-    jj = np.arange(gmax)[None, :]
-    gvalid = jj < gcounts[:, None]
-    gidx = np.full((n, gmax), ng, dtype=np.int64)
-    gidx[gvalid] = node_perm_np[(goff[:-1, None] + jj)[gvalid]]
-    slot_tbl = (nnz_to_ell_np[elem_nnz_np] % pr).reshape(-1, 4)  # (ne*4, 4)
-    grp_slot = np.zeros((n, gmax, 4), dtype=np.int32)
-    grp_slot[gvalid] = slot_tbl[gidx[gvalid]]
+    # The chunked (lax.scan streaming) path never uses the grouped or DIA
+    # plans, and with chunk padding every pad element is all-node-0, which
+    # would inflate node 0's group count (and the (N*G,) plan arrays) by
+    # up to 4*(chunk-1) entries -- so skip plan construction entirely.
+    if chunk is not None:
+        gmax = 0
+        gidx = np.zeros((0,), dtype=np.int64)
+        grp_slot = np.zeros((0,), dtype=np.int32)
+        dia_offsets = None
+        grp_plane = None
+    else:
+        ga_rows = ien_np.ravel()  # row of group g = e*4 + a
+        ng = ga_rows.size
+        gcounts = np.bincount(ga_rows, minlength=n)
+        gmax = int(gcounts.max()) if ng else 0
+        goff = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(gcounts, out=goff[1:])
+        jj = np.arange(gmax)[None, :]
+        gvalid = jj < gcounts[:, None]
+        gidx = np.full((n, gmax), ng, dtype=np.int64)
+        gidx[gvalid] = node_perm_np[(goff[:-1, None] + jj)[gvalid]]
+        slot_tbl = (nnz_to_ell_np[elem_nnz_np] % pr).reshape(-1, 4)  # (ne*4, 4)
+        grp_slot = np.zeros((n, gmax, 4), dtype=np.int32)
+        grp_slot[gvalid] = slot_tbl[gidx[gvalid]]
 
-    # DIA detection: lattice meshes with natural ordering have a tiny
-    # fixed offset stencil (15 for the Kuhn tet box) -> gather-free SpMV
-    offs_per_nnz = sparsity.col_ind.astype(np.int64) - np.asarray(
-        sparsity.row_ids, dtype=np.int64
-    )
-    uniq_offs = np.unique(offs_per_nnz)
-    dia_offsets = None
-    grp_plane = None
-    if uniq_offs.size <= 40:
-        dia_offsets = tuple(int(o) for o in uniq_offs)
-        plane_of_nnz = np.searchsorted(uniq_offs, offs_per_nnz).astype(np.int32)
-        plane_tbl = plane_of_nnz[elem_nnz_np].reshape(-1, 4)
-        grp_plane_np = np.zeros((n, gmax, 4), dtype=np.int32)
-        grp_plane_np[gvalid] = plane_tbl[gidx[gvalid]]
-        grp_plane = jnp.asarray(grp_plane_np.reshape(-1))
+        # DIA detection: lattice meshes with natural ordering have a tiny
+        # fixed offset stencil (15 for the Kuhn tet box) -> gather-free SpMV
+        offs_per_nnz = sparsity.col_ind.astype(np.int64) - np.asarray(
+            sparsity.row_ids, dtype=np.int64
+        )
+        uniq_offs = np.unique(offs_per_nnz)
+        dia_offsets = None
+        grp_plane = None
+        if uniq_offs.size <= 40:
+            dia_offsets = tuple(int(o) for o in uniq_offs)
+            plane_of_nnz = np.searchsorted(uniq_offs, offs_per_nnz).astype(np.int32)
+            plane_tbl = plane_of_nnz[elem_nnz_np].reshape(-1, 4)
+            grp_plane_np = np.zeros((n, gmax, 4), dtype=np.int32)
+            grp_plane_np[gvalid] = plane_tbl[gidx[gvalid]]
+            grp_plane = jnp.asarray(grp_plane_np.reshape(-1))
 
     from dedflow_tpu.fem.pallas_kernels import lhs_geom_rows, res_geom_rows
 

@@ -38,6 +38,18 @@ from dedflow_tpu.fem import quadrature as quad
 
 _E = 512  # elements per grid step
 
+
+def _check_f32_contract(dtype) -> None:
+    """The fused element kernels compute in f32 (Mosaic TPU path). Callers
+    cast the result back to the state dtype, which would silently mask a
+    precision downgrade in an f64 run -- refuse instead (use
+    elements_kernel='xla' for f64 validation runs)."""
+    if jnp.dtype(dtype) == jnp.float64:
+        raise ValueError(
+            "elements_kernel='pallas' computes in float32; it cannot honor "
+            "a float64 state. Use elements_kernel='xla' for f64 runs."
+        )
+
 _SHL = np.asarray(quad.SHL, dtype=np.float64)  # (q, a)
 _GW = np.asarray(quad.GW, dtype=np.float64)  # (q,)
 _GWSUM = float(_GW.sum())
@@ -310,6 +322,7 @@ def ns_residual_pallas(
 ) -> jnp.ndarray:
     """(ne, 4, 6) element residuals == weakform.ns_residual_elements,
     fused into one Pallas pass."""
+    _check_f32_contract(w_alpha.dtype)
     ne = res_geom.shape[1]
     f32 = jnp.float32
     # ONE wide row-gather per state array (TPU gathers are ~10-100x faster
@@ -381,6 +394,7 @@ def ns_lhs_packed_pallas(
 ) -> jnp.ndarray:
     """(ne*16, 18) packed element Jacobians == weakform.ns_lhs_packed
     (frozen-scalar mode); the fused single-pass TPU path."""
+    _check_f32_contract(w_alpha.dtype)
     ne = geom_rows.shape[1]
     f32 = jnp.float32
     # ONE wide row-gather (ne, 4, 3), then the transpose to (12, ne) rows

@@ -41,17 +41,29 @@ from dedflow_tpu.parallel.partition import (
 from dedflow_tpu.solver.newton import NSSolver
 
 
-def _shard_axis0(tree, sharding: NamedSharding, replicated: NamedSharding):
-    """device_put every array leaf: axis-0 sharded where the device count
-    divides it (node/element/scatter-plan axes are padded multiples by
-    construction), replicated otherwise (e.g. the ragged nnz axis, whose
-    layout GSPMD propagates from the segment-sum outputs)."""
-    num = sharding.num_devices
+def _shard_mesh_axis(tree, mesh: DeviceMesh, axis: str, replicated: NamedSharding):
+    """device_put every array leaf with the mesh axis on the LARGEST
+    dimension the device count divides (node/element/scatter-plan axes are
+    padded multiples by construction). Element-major tables put the mesh
+    dimension last -- e.g. ien_t (4, ne), lhs_geom (15, ne) -- so picking
+    by size rather than by position keeps every O(ne)/O(N) table scaling
+    down with the device count. Leaves with no divisible dimension (e.g.
+    the ragged nnz axis) stay replicated; GSPMD propagates their layout
+    from the segment-sum outputs."""
+    num = int(np.prod(mesh.devices.shape))
 
     def put(leaf):
         if hasattr(leaf, "ndim") and leaf.ndim >= 1:
-            if leaf.shape[0] % num == 0:
-                return jax.device_put(leaf, sharding)
+            sizes = [
+                (s, d) for d, s in enumerate(leaf.shape) if s % num == 0 and s > 0
+            ]
+            if sizes:
+                _, dim = max(sizes, key=lambda t: (t[0], -t[1]))
+                spec = [None] * leaf.ndim
+                spec[dim] = axis
+                return jax.device_put(
+                    leaf, NamedSharding(mesh, PartitionSpec(*spec))
+                )
             return jax.device_put(leaf, replicated)
         return leaf
 
@@ -101,7 +113,9 @@ class ShardedNSSolver:
         # node and nnz axes are all partition-contiguous by construction.
         # The nnz axis is NOT an exact multiple of the device count; it is
         # left to GSPMD's sharding propagation (the segment-sum outputs).
-        self.ctx = _shard_axis0(self.solver.ctx, self.sharding, self.replicated)
+        self.ctx = _shard_mesh_axis(
+            self.solver.ctx, device_mesh, axis, self.replicated
+        )
         # Padding nodes become unit-diagonal Dirichlet rows.
         mask = np.asarray(self.solver.mask) | ~self.info.node_real[:, None]
         self.mask = jax.device_put(jnp.asarray(mask), self.sharding)
