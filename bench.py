@@ -1,20 +1,27 @@
-"""Headline benchmark: Assembly+SpMV GFLOP/s at ~1M tets (BASELINE.json).
+"""Headline benchmark: the three BASELINE.md metrics on one device.
 
 Prints ONE JSON line:
   {"metric": "assembly_spmv_gflops", "value": N, "unit": "GFLOP/s",
-   "vs_baseline": N}
+   "vs_baseline": N, "gmres_iters_per_s": N, "dem_pairs_per_s": N, ...}
 
-The reference publishes no numbers (BASELINE.md); its target is >60% of
-TPU speed-of-light on assembly+SpMV. `vs_baseline` is therefore the
-achieved fraction of the HBM-bandwidth roofline divided by 0.60, so 1.0
-means the 60%-of-SoL bar is met. Roofline time = bytes-accessed (from the
-compiled XLA cost analysis) / device HBM bandwidth.
+- assembly+SpMV GFLOP/s at ~1M tets: residual F, Jacobian J, and ten
+  6x6-block SpMVs - the per-Newton-iteration work of AssembleSystemTet +
+  MatrixMatVec (assemble.cu:1467-1762, matrix.c:151-162). The reference
+  publishes no numbers (BASELINE.md); its target is >60% of the TPU HBM
+  roofline, so `vs_baseline` = (roofline_time / measured_time) / 0.60 and
+  1.0 means the bar is met.
+- GMRES iters/s at ~1M tets: a full 120-iteration right-preconditioned
+  GMRES solve of J dx = F with the reference's field-split PC
+  (krylov.c:56-334, 440-452), timed end to end.
+- DEM contact-pairs/s at 100k particles: candidate pair-slots examined
+  per second by the dense grid-resident contact sweep (dem.grid; the
+  reference's DEM has no dynamics, Particle.c - capability per
+  BASELINE.md config #4).
 
-Stages measured (the reference's hot loop, SURVEY.md section 3.3):
-residual assembly F, Jacobian assembly J, and 6x6-block BSR SpMV - the
-per-Newton-iteration work of AssembleSystemTet + MatrixMatVec
-(assemble.cu:1467-1762, matrix.c:151-162). f32 on TPU (f64 is emulated);
-the f64 correctness path is exercised by the test suite on CPU.
+On box lattices the solver uses the gather-free structured fast path
+(fem.lattice: static-shift assembly, component-major DIA matrix, fused
+Pallas kernels); f32 on TPU. The f64 correctness path is exercised by the
+test suite on CPU and by `--f64-check` (tools/residual_check.py).
 """
 
 import json
@@ -44,6 +51,8 @@ _HBM_BW = {
     "v6e": 1.64e12,
     "cpu": 5.0e10,
 }
+
+_T0 = time.perf_counter()
 
 
 def _bandwidth(device) -> float:
@@ -79,7 +88,7 @@ def _timeit(fn, *args, r1=2, r2=8):
     run(1)
     t_a = min(run(r1) for _ in range(2))
     t_b = min(run(r2) for _ in range(2))
-    return max((t_b - t_a) / (r2 - r1), 1e-9), None
+    return max((t_b - t_a) / (r2 - r1), 1e-9)
 
 
 def _cost(compiled):
@@ -89,20 +98,17 @@ def _cost(compiled):
     return float(c.get("flops", 0.0)), float(c.get("bytes accessed", 0.0))
 
 
-def main() -> None:
-    global _T0
-    _T0 = time.perf_counter()
-    platform = jax.devices()[0].platform
+def log(msg):
+    print(f"bench[{time.perf_counter()-_T0:8.1f}s]: {msg}", file=sys.stderr, flush=True)
+
+
+def bench_assembly_spmv(platform):
+    import dataclasses
+
     n = int(os.environ.get("DEDFLOW_BENCH_N", 55 if platform == "tpu" else 12))
     dtype = jnp.float32
     mesh = box_mesh(n, n, n)
     cfg = reference_scenario_config()
-    print(
-        f"bench: platform={platform} mesh {mesh.num_tet} tets"
-        f" {mesh.num_node} nodes dtype={dtype.__name__}",
-        file=sys.stderr,
-    )
-    import dataclasses
     chunk_env = int(os.environ.get("DEDFLOW_BENCH_CHUNK", 0))
     cfg = dataclasses.replace(
         cfg,
@@ -111,29 +117,42 @@ def main() -> None:
         elements_kernel=os.environ.get(
             "DEDFLOW_BENCH_EKERNEL", "pallas" if platform == "tpu" else "xla"
         ),
+        use_lattice=os.environ.get("DEDFLOW_BENCH_LATTICE", "auto"),
     )
     solver = NSSolver(mesh, cfg, dtype=dtype)
+    lat = solver.lctx is not None
+    print(
+        f"bench: platform={platform} mesh {mesh.num_tet} tets"
+        f" {mesh.num_node} nodes dtype={dtype.__name__} lattice={lat}",
+        file=sys.stderr,
+    )
     wg, dwgold, dwg = reference_initial_state(mesh)
     wg, dwgold, dwg = (jnp.asarray(x, dtype=dtype) for x in (wg, dwgold, dwg))
 
     phys, scheme = cfg.physics, cfg.time
+    chunk = cfg.assembly_chunk
+    method = cfg.scatter_method
+    ctx = solver.solve_ctx
 
     # ctx/face_ctxs/mask MUST be jit *arguments*: closing over them embeds
     # the mesh tables as XLA constants, which multiplies compile time and
     # program size by the mesh size.
-    chunk = cfg.assembly_chunk
-
-    method = cfg.scatter_method
+    from dedflow_tpu.solver import newton as nt
 
     def resid(ctx, face_ctxs, mask, wg, dwgold, dwg):
-        wa, dwa = ns.alpha_states(wg, dwgold, dwg, scheme)
-        return ns.assemble_residual(
-            ctx, face_ctxs, mask, wa, dwa, phys, scheme, True, chunk,
+        return nt.residual(
+            ctx, face_ctxs, mask, wg, dwgold, dwg, phys, scheme, True, chunk,
             None, None, method, cfg.elements_kernel,
         )
 
     def jac(ctx, face_ctxs, mask, wg, dwgold, dwg):
         wa, dwa = ns.alpha_states(wg, dwgold, dwg, scheme)
+        if lat:
+            from dedflow_tpu.fem.lattice import assemble_jacobian_t
+
+            return assemble_jacobian_t(
+                ctx, face_ctxs, mask, wa, dwa, phys, scheme
+            )
         return ns.assemble_jacobian(
             ctx, face_ctxs, mask, wa, dwa, phys, scheme, chunk, method,
             False, cfg.elements_kernel,
@@ -142,16 +161,15 @@ def main() -> None:
     n_spmv = 10
 
     def spmv_loop(mat, x):
+        mv = mat.matvec_t if lat else mat.matvec
+
         def body(_, v):
-            y = mat.matvec(v)
+            y = mv(v)
             return y / jnp.linalg.norm(y.reshape(-1))
 
         return jax.lax.fori_loop(0, n_spmv, body, x)
 
-    def log(msg):
-        print(f"bench[{time.perf_counter()-_T0:8.1f}s]: {msg}", file=sys.stderr, flush=True)
-
-    cargs = (solver.ctx, solver.face_ctxs, solver.mask)
+    cargs = (ctx, solver.face_ctxs, solver.mask)
     resid_c = jax.jit(resid).lower(*cargs, wg, dwgold, dwg).compile()
     log("resid compiled")
     jac_c = jax.jit(jac).lower(*cargs, wg, dwgold, dwg).compile()
@@ -161,22 +179,41 @@ def main() -> None:
     spmv_c = jax.jit(spmv_loop).lower(jmat, f).compile()
     log("spmv compiled")
 
-    t_f, _ = _timeit(resid_c, *cargs, wg, dwgold, dwg)
+    t_f = _timeit(resid_c, *cargs, wg, dwgold, dwg)
     log(f"resid timed {t_f*1e3:.1f} ms")
-    t_j, _ = _timeit(jac_c, *cargs, wg, dwgold, dwg)
+    t_j = _timeit(jac_c, *cargs, wg, dwgold, dwg)
     log(f"jac timed {t_j*1e3:.1f} ms")
-    t_s, _ = _timeit(spmv_c, jmat, f)
+    t_s = _timeit(spmv_c, jmat, f)
     log(f"spmv timed {t_s*1e3:.1f} ms")
 
     fl_f, _ = _cost(resid_c)
     fl_j, _ = _cost(jac_c)
     fl_s, _ = _cost(spmv_c)
+    if lat:
+        # XLA cost analysis cannot see inside Pallas kernels: add their
+        # flops from a small-size compile of the identical XLA body
+        # (pallas_kernels._res_rows/_lhs_rows), scaled per lane.
+        from dedflow_tpu.fem import pallas_kernels as pk
+
+        m_probe = 4096
+        lanes = 6 * ctx.npad
+
+        def probe(fn, rows):
+            x = jnp.ones((rows, m_probe), jnp.float32)
+            c = jax.jit(lambda v: fn(v, phys, scheme, backend="xla"))
+            fl, _ = _cost(c.lower(x).compile())
+            return fl / m_probe
+
+        fl_f += probe(pk.res_rows_call, 67) * lanes
+        fl_j += probe(pk.lhs_rows_call, 27) * lanes
+        # the Pallas DIA SpMV: ~2 flops per stored component + x fuse
+        fl_s += n_spmv * 2.0 * 15 * 18 * mesh.num_node
 
     # Analytic minimal HBM traffic (roofline): geometry+gathers+updates
-    # for the two assemblies, matrix+gathered x for each SpMV.
-    ne = solver.ctx.num_elem
-    n_nodes = solver.ctx.num_node
-    pr = solver.ctx.ell_width
+    # for the two assemblies, matrix+x for each SpMV.
+    ne = mesh.num_tet
+    n_nodes = mesh.num_node
+    pr = 15
     fsz = jnp.dtype(dtype).itemsize
     by_f = ne * (22 + 2 * 4 * 6) * fsz + n_nodes * 6 * fsz
     by_j = ne * (22 + 2 * 4 * 6) * fsz + 3 * ne * 16 * 18 * fsz + n_nodes * pr * 18 * fsz
@@ -187,8 +224,7 @@ def main() -> None:
     total_by = by_f + by_j + by_s
     gflops = total_fl / total_t / 1e9
     bw = _bandwidth(jax.devices()[0])
-    sol_time = total_by / bw
-    sol_frac = sol_time / total_t
+    sol_frac = (total_by / bw) / total_t
     print(
         f"bench: F {t_f*1e3:.1f} ms  J {t_j*1e3:.1f} ms  "
         f"{n_spmv}xSpMV {t_s*1e3:.1f} ms | "
@@ -196,13 +232,101 @@ def main() -> None:
         f"SoL frac {sol_frac:.3f}",
         file=sys.stderr,
     )
+
+    # ---- GMRES iters/s: full 120-iteration preconditioned solve --------
+    from dedflow_tpu.solver.krylov import gmres
+
+    gm_it = int(os.environ.get("DEDFLOW_BENCH_GMRES_IT", 120))  # main.c:406
+
+    def gsolve(jm, b):
+        if lat:
+            from dedflow_tpu.solver.pc import NSFieldSplitPCT
+
+            pc = NSFieldSplitPCT.from_diag_rows(jm.diag_rows())
+            mv = jm.matvec_t
+        else:
+            from dedflow_tpu.solver.pc import NSFieldSplitPC
+
+            pc = NSFieldSplitPC.from_matrix(jm)
+            mv = jm.matvec
+        # rtol=atol=0: never converges early -> exactly gm_it iterations
+        return gmres(mv, b, maxit=gm_it, atol=0.0, rtol=0.0, pc=pc).x
+
+    gsolve_c = jax.jit(gsolve).lower(jmat, f).compile()
+    log("gmres compiled")
+    t_g = _timeit(gsolve_c, jmat, f, r1=1, r2=3)
+    gmres_iters_per_s = gm_it / t_g
+    log(f"gmres timed {t_g*1e3:.1f} ms for {gm_it} iters "
+        f"({gmres_iters_per_s:.0f} iters/s)")
+
+    return dict(
+        gflops=gflops,
+        sol_frac=sol_frac,
+        gmres_iters_per_s=gmres_iters_per_s,
+        t_f_ms=t_f * 1e3,
+        t_j_ms=t_j * 1e3,
+        t_spmv_ms=t_s * 1e3 / n_spmv,
+        t_gmres_ms=t_g * 1e3,
+        num_tet=ne,
+        lattice=lat,
+    )
+
+
+def bench_dem(platform):
+    """DEM grid-path contact sweep at 100k particles (BASELINE config #4)."""
+    from dedflow_tpu.dem.cells import make_grid
+    from dedflow_tpu.dem.grid import grid_run, to_grid
+    from dedflow_tpu.dem.integrate import DEMConfig
+    from dedflow_tpu.dem.particles import particle_state
+
+    p = int(os.environ.get("DEDFLOW_BENCH_DEM_P", 100_000))
+    radius = 0.006
+    rng = np.random.RandomState(0)
+    x = rng.uniform(0.02, 0.98, size=(p, 3)).astype(np.float32)
+    st = particle_state(x, radius=radius, mass=1.0)
+    grid = make_grid([0, 0, 0], [1, 1, 1], cell_size=2.5 * radius, capacity=8)
+    cfg = DEMConfig(
+        grid=grid, dt=1e-5, walls_lo=(0, 0, 0), walls_hi=(1, 1, 1)
+    )
+    nsub = 10
+    gs = to_grid(grid, st, p)
+    run = jax.jit(lambda g: grid_run(cfg, g, 1.0, nsub))
+    run(gs)  # compile
+    t = _timeit(run, gs, r1=1, r2=3)
+    k = grid.capacity
+    nc = grid.num_cell
+    pairs = 27.0 * k * k * nc * nsub
+    pairs_per_s = pairs / t
+    log(
+        f"dem: {p} particles grid {grid.dims} K={k} "
+        f"{t/nsub*1e3:.1f} ms/substep ({pairs_per_s/1e9:.2f} G pair-slots/s)"
+    )
+    return dict(dem_pairs_per_s=pairs_per_s, t_substep_ms=t / nsub * 1e3)
+
+
+def main() -> None:
+    platform = jax.devices()[0].platform
+    asm = bench_assembly_spmv(platform)
+    dem = bench_dem(platform)
     print(
         json.dumps(
             {
                 "metric": "assembly_spmv_gflops",
-                "value": round(gflops, 2),
+                "value": round(asm["gflops"], 2),
                 "unit": "GFLOP/s",
-                "vs_baseline": round(sol_frac / 0.60, 3),
+                "vs_baseline": round(asm["sol_frac"] / 0.60, 3),
+                "gmres_iters_per_s": round(asm["gmres_iters_per_s"], 1),
+                "dem_pairs_per_s": round(dem["dem_pairs_per_s"] / 1e9, 2),
+                "dem_pairs_unit": "G pair-slots/s",
+                "detail": {
+                    "t_f_ms": round(asm["t_f_ms"], 2),
+                    "t_j_ms": round(asm["t_j_ms"], 2),
+                    "t_spmv_ms": round(asm["t_spmv_ms"], 3),
+                    "t_gmres120_ms": round(asm["t_gmres_ms"], 1),
+                    "t_dem_substep_ms": round(dem["t_substep_ms"], 2),
+                    "num_tet": asm["num_tet"],
+                    "lattice": asm["lattice"],
+                },
             }
         )
     )

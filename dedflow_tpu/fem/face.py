@@ -52,6 +52,12 @@ class FaceContext:
     mat_perm_dia: jnp.ndarray | None = None
     mat_targets_dia: jnp.ndarray | None = None
     num_facet: int = field(default=0, metadata=dict(static=True))
+    # component-major DIA plan (lattice fast path): targets local to the
+    # boundary's contiguous row range [dia_row_lo, dia_row_lo + span)
+    mat_perm_dia_t: jnp.ndarray | None = None
+    mat_targets_dia_t: jnp.ndarray | None = None
+    dia_row_lo: int = field(default=0, metadata=dict(static=True))
+    dia_row_span: int = field(default=0, metadata=dict(static=True))
 
 
 def build_face_context(
@@ -72,6 +78,8 @@ def build_face_context(
     _, nnz_to_ell, _ = sparsity.ell_tables()
     mat_t_ell = nnz_to_ell[mat_t[mat_perm]].astype(np.int32)
     mat_perm_dia = mat_targets_dia = None
+    mat_perm_dia_t = mat_targets_dia_t = None
+    dia_row_lo = dia_row_span = 0
     if ctx.dia_offsets is not None:
         uniq = np.asarray(ctx.dia_offsets, dtype=np.int64)
         rows = np.asarray(sparsity.row_ids, dtype=np.int64)[mat_t]
@@ -81,9 +89,20 @@ def build_face_context(
         perm_d = np.argsort(dia_pos, kind="stable").astype(np.int32)
         mat_perm_dia = jnp.asarray(perm_d)
         mat_targets_dia = jnp.asarray(dia_pos[perm_d].astype(np.int32))
+        # component-major plan over the boundary's contiguous row range
+        dia_row_lo = int(rows.min()) if rows.size else 0
+        dia_row_span = (int(rows.max()) - dia_row_lo + 1) if rows.size else 1
+        pos_t = plane * dia_row_span + (rows - dia_row_lo)
+        perm_t = np.argsort(pos_t, kind="stable").astype(np.int32)
+        mat_perm_dia_t = jnp.asarray(perm_t)
+        mat_targets_dia_t = jnp.asarray(pos_t[perm_t].astype(np.int32))
     return FaceContext(
         mat_perm_dia=mat_perm_dia,
         mat_targets_dia=mat_targets_dia,
+        mat_perm_dia_t=mat_perm_dia_t,
+        mat_targets_dia_t=mat_targets_dia_t,
+        dia_row_lo=dia_row_lo,
+        dia_row_span=dia_row_span,
         f2e=f2e,
         forn=forn,
         ien=jnp.asarray(ien_np),
@@ -247,6 +266,26 @@ def scatter_face_matrix_dia(
         indices_are_sorted=True,
     )
     return out.reshape(num_planes, num_node, upd.shape[1])
+
+
+def face_dia_block(
+    fctx: FaceContext, upd: jnp.ndarray, num_planes: int
+) -> jnp.ndarray:
+    """(nf*16, 18) packed facet updates -> dense (D, 18, span) block over
+    the boundary's contiguous row range [dia_row_lo, dia_row_lo + span)
+    (lattice fast path). The caller adds it into the component-major DIA
+    data with a STATIC slice - a dynamic scatter into the O(N*D*18)
+    volume data would copy the whole matrix (measured ~17 ms at 1M tets),
+    while this segment-sum touches only O(facets) data."""
+    span = fctx.dia_row_span
+    upd_sorted = upd[fctx.mat_perm_dia_t]
+    out = jax.ops.segment_sum(
+        upd_sorted,
+        fctx.mat_targets_dia_t,
+        num_segments=num_planes * span,
+        indices_are_sorted=True,
+    )
+    return out.reshape(num_planes, span, upd.shape[1]).transpose(0, 2, 1)
 
 
 def scatter_face_residual(

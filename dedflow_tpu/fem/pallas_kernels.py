@@ -62,25 +62,25 @@ _GWSHL = np.einsum("q,qa->a", _GW, _SHL)  # (4,)
 # at trace time into scalar selects).
 
 
-def _pair_const(fn) -> jnp.ndarray:
-    """(16, 1) f32 with value fn(a, b) at sublane a*4+b, from iota."""
+def _pair_const(fn, dtype=jnp.float32) -> jnp.ndarray:
+    """(16, 1) with value fn(a, b) at sublane a*4+b, from iota."""
     s = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
     a, b = s // 4, s % 4
-    out = jnp.zeros((16, 1), jnp.float32)
+    out = jnp.zeros((16, 1), dtype)
     for ai in range(4):
         for bi in range(4):
             out = out + jnp.where(
-                (a == ai) & (b == bi), jnp.float32(fn(ai, bi)), 0.0
+                (a == ai) & (b == bi), jnp.asarray(fn(ai, bi), dtype), 0.0
             )
     return out
 
 
-def _node_const(vals) -> jnp.ndarray:
-    """(4, 1) f32 with vals[a] at sublane a, from iota."""
+def _node_const(vals, dtype=jnp.float32) -> jnp.ndarray:
+    """(4, 1) with vals[a] at sublane a, from iota."""
     a = jax.lax.broadcasted_iota(jnp.int32, (4, 1), 0)
-    out = jnp.zeros((4, 1), jnp.float32)
+    out = jnp.zeros((4, 1), dtype)
     for ai in range(4):
-        out = out + jnp.where(a == ai, jnp.float32(vals[ai]), 0.0)
+        out = out + jnp.where(a == ai, jnp.asarray(vals[ai], dtype), 0.0)
     return out
 
 
@@ -97,18 +97,24 @@ def _rep_b(x):
 
 
 def _lhs_kernel(inp_ref, out_ref, *, rho, mu, f1, f2, dt):
-    f32 = jnp.float32
-    sh = [inp_ref[4 * i : 4 * (i + 1), :] for i in range(3)]  # i -> (4, E)
-    u = [inp_ref[12 + 4 * i : 12 + 4 * (i + 1), :] for i in range(3)]
-    det = inp_ref[24:25, :]  # (1, E)
-    gg = inp_ref[25:26, :]
-    tr = inp_ref[26:27, :]
+    out_ref[:, :] = _lhs_rows(inp_ref[:, :], rho=rho, mu=mu, f1=f1, f2=f2, dt=dt)
+
+
+def _lhs_rows(inp, *, rho, mu, f1, f2, dt):
+    """Pure (27, E) -> (288, E) element-Jacobian body, shared by the Pallas
+    kernel (TPU) and the plain-XLA lattice fallback (CPU / f64)."""
+    f32 = inp.dtype
+    sh = [inp[4 * i : 4 * (i + 1), :] for i in range(3)]  # i -> (4, E)
+    u = [inp[12 + 4 * i : 12 + 4 * (i + 1), :] for i in range(3)]
+    det = inp[24:25, :]  # (1, E)
+    gg = inp[25:26, :]
+    tr = inp[26:27, :]
 
     knu = mu / rho
     visc2 = 3.0 * knu * knu
     tr_safe = jnp.where(tr > 0.0, tr, 1.0)
 
-    mass16 = _pair_const(lambda a, b: _MASS[a, b])
+    mass16 = _pair_const(lambda a, b: _MASS[a, b], f32)
 
     # quadrature accumulation (unrolled; shconv[q] is (4, E))
     tmp = jnp.broadcast_to(f1 * rho * mass16, (16, det.shape[1])).astype(f32)
@@ -128,11 +134,11 @@ def _lhs_kernel(inp_ref, out_ref, *, rho, mu, f1, f2, dt):
         tau0 = jax.lax.rsqrt(4.0 / (dt * dt) + adv2 + visc2 * gg) / rho
         tau1 = jnp.sqrt(adv2 + visc2 * gg) / tr_safe
         gwq = float(_GW[q])
-        shl_b = _node_const(_SHL[q])  # (4, 1)
+        shl_b = _node_const(_SHL[q], f32)  # (4, 1)
         conv_a = _rep_a(shconv)
         conv_b = _rep_b(shconv)
-        shl16_a = _pair_const(lambda a, b: _SHL[q][a])
-        shl16_b = _pair_const(lambda a, b: _SHL[q][b])
+        shl16_a = _pair_const(lambda a, b: _SHL[q][a], f32)
+        shl16_b = _pair_const(lambda a, b: _SHL[q][b], f32)
         tmp = tmp + (
             (f1 * rho * rho * gwq) * tau0 * conv_a * shl16_b
             + (f2 * rho * gwq) * shl16_a * conv_b
@@ -150,9 +156,9 @@ def _lhs_kernel(inp_ref, out_ref, *, rho, mu, f1, f2, dt):
     gsconv_a = _rep_a(gs_conv)
     gsconv_b = _rep_b(gs_conv)
     gsshl_b = _rep_b(gs_shl)
-    gwshl_a = _pair_const(lambda a, b: _GWSHL[a])
-    gwshl_b = _pair_const(lambda a, b: _GWSHL[b])
-    eye16 = _pair_const(lambda a, b: 1.0 if a == b else 0.0)
+    gwshl_a = _pair_const(lambda a, b: _GWSHL[a], f32)
+    gwshl_b = _pair_const(lambda a, b: _GWSHL[b], f32)
+    eye16 = _pair_const(lambda a, b: 1.0 if a == b else 0.0, f32)
 
     comps = [None] * 18
     for i in range(3):
@@ -174,10 +180,10 @@ def _lhs_kernel(inp_ref, out_ref, *, rho, mu, f1, f2, dt):
     comps[17] = comps[16]
 
     stacked = jnp.stack(comps, axis=1)  # (16, 18, E)
-    # collapse the two MAJOR dims (free); the lane-major transpose to
+    # collapse the two MAJOR dims (free); any lane-major transpose to
     # (E, 288) happens outside in XLA (Mosaic cannot shape-cast across
     # the lane dim)
-    out_ref[:, :] = stacked.reshape(288, det.shape[1])
+    return stacked.reshape(288, det.shape[1])
 
 
 def res_geom_rows(shgrad, det_j, metric) -> jnp.ndarray:
@@ -200,18 +206,26 @@ def _res_kernel(inp_ref, out_ref, *, rho, mu, cp, kappa, fb, dt):
     [43:47) p, [47:51) phi, [51:55) T, [55:59) dphi, [59:63) dT,
     [63:67) src. Output (24, E): rows a*6+c of the (4, 6) element residual.
     """
-    f32 = jnp.float32
-    sh = [inp_ref[4 * i : 4 * (i + 1), :] for i in range(3)]
-    det = inp_ref[12:13, :]
-    m6 = [inp_ref[13 + k : 14 + k, :] for k in range(6)]
-    u = [inp_ref[19 + 4 * i : 23 + 4 * i, :] for i in range(3)]
-    du = [inp_ref[31 + 4 * i : 35 + 4 * i, :] for i in range(3)]
-    p = inp_ref[43:47, :]
-    phi = inp_ref[47:51, :]
-    temp = inp_ref[51:55, :]
-    dphi = inp_ref[55:59, :]
-    dtemp = inp_ref[59:63, :]
-    src = inp_ref[63:67, :]
+    out_ref[:, :] = _res_rows(
+        inp_ref[:, :], rho=rho, mu=mu, cp=cp, kappa=kappa, fb=fb, dt=dt
+    )
+
+
+def _res_rows(inp, *, rho, mu, cp, kappa, fb, dt):
+    """Pure (67, E) -> (24, E) residual body, shared by the Pallas kernel
+    (TPU) and the plain-XLA lattice fallback (CPU / f64)."""
+    f32 = inp.dtype
+    sh = [inp[4 * i : 4 * (i + 1), :] for i in range(3)]
+    det = inp[12:13, :]
+    m6 = [inp[13 + k : 14 + k, :] for k in range(6)]
+    u = [inp[19 + 4 * i : 23 + 4 * i, :] for i in range(3)]
+    du = [inp[31 + 4 * i : 35 + 4 * i, :] for i in range(3)]
+    p = inp[43:47, :]
+    phi = inp[47:51, :]
+    temp = inp[51:55, :]
+    dphi = inp[55:59, :]
+    dtemp = inp[59:63, :]
+    src = inp[63:67, :]
 
     m00, m01, m02, m11, m12, m22 = m6
     gg = (
@@ -240,7 +254,7 @@ def _res_kernel(inp_ref, out_ref, *, rho, mu, cp, kappa, fb, dt):
     ft = jnp.zeros_like(sh[0])
     for q in range(4):
         wq = float(_GW[q])
-        shl_a = _node_const(_SHL[q])  # (4, 1)
+        shl_a = _node_const(_SHL[q], f32)  # (4, 1)
         qval = lambda nodal: jnp.sum(shl_a * nodal, axis=0, keepdims=True)
         uq = [qval(u[i]) for i in range(3)]
         duq = [qval(du[i]) for i in range(3)]
@@ -307,7 +321,7 @@ def _res_kernel(inp_ref, out_ref, *, rho, mu, cp, kappa, fb, dt):
     )
 
     comps = jnp.stack(fm + [fc, fphi, ft], axis=1)  # (4, 6, E)
-    out_ref[:, :] = (comps * det).reshape(24, det.shape[1])
+    return (comps * det).reshape(24, det.shape[1])
 
 
 def ns_residual_pallas(
@@ -431,3 +445,77 @@ def ns_lhs_packed_pallas(
     )(inp)
     # (288, ne) -> (ne, 16, 18) -> (ne*16, 18): one XLA transpose pass
     return out[:, :ne].reshape(16, 18, ne).transpose(2, 0, 1).reshape(ne * 16, 18)
+
+
+# ---------------------------------------------------------------------------
+# Generic row-layout entry points (the lattice fast path, fem.lattice):
+# inputs/outputs keep the element axis on LANES; backend "pallas" runs the
+# fused Mosaic kernel (f32), backend "xla" runs the identical body as plain
+# XLA ops (any dtype - the f64 validation path).
+
+
+def _pallas_rows_call(kern, inp, out_rows: int, interpret: bool = False):
+    m = inp.shape[1]
+    m_pad = (m + _E - 1) // _E * _E
+    if m_pad != m:
+        inp = jnp.pad(inp, ((0, 0), (0, m_pad - m)))
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((out_rows, m_pad), jnp.float32),
+        grid=(m_pad // _E,),
+        in_specs=[
+            pl.BlockSpec(
+                (inp.shape[0], _E), lambda k: (0, k), memory_space=pltpu.VMEM
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (out_rows, _E), lambda k: (0, k), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(inp)
+    return out[:, :m]
+
+
+def lhs_rows_call(
+    inp: jnp.ndarray,  # (27, M)
+    phys: Physics,
+    scheme: TimeScheme,
+    backend: str = "pallas",
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(27, M) packed element-Jacobian inputs -> (288, M) packed outputs."""
+    args = dict(
+        rho=float(phys.rho),
+        mu=float(phys.mu),
+        f1=float(scheme.fact_dw),
+        f2=float(scheme.fact_w),
+        dt=float(scheme.dt),
+    )
+    if backend == "xla":
+        return _lhs_rows(inp, **args)
+    _check_f32_contract(inp.dtype)
+    kern = functools.partial(_lhs_kernel, **args)
+    return _pallas_rows_call(kern, inp.astype(jnp.float32), 288, interpret)
+
+
+def res_rows_call(
+    inp: jnp.ndarray,  # (67, M)
+    phys: Physics,
+    scheme: TimeScheme,
+    backend: str = "pallas",
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(67, M) packed residual inputs -> (24, M) element residual rows."""
+    args = dict(
+        rho=float(phys.rho),
+        mu=float(phys.mu),
+        cp=float(phys.cp),
+        kappa=float(phys.kappa),
+        fb=tuple(float(v) for v in phys.body_force),
+        dt=float(scheme.dt),
+    )
+    if backend == "xla":
+        return _res_rows(inp, **args)
+    _check_f32_contract(inp.dtype)
+    kern = functools.partial(_res_kernel, **args)
+    return _pallas_rows_call(kern, inp.astype(jnp.float32), 24, interpret)

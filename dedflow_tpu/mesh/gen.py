@@ -107,5 +107,5 @@ def box_mesh(
         f2e, forn = facet_tables_from_tris(ien, tris)
         nodes = np.unique(tris).astype(INDEX_DTYPE)
         boundaries.append(Boundary(nodes=nodes, ien=tris, f2e=f2e, forn=forn))
-    mesh = Mesh(xg=xg, ien=ien, boundaries=boundaries)
+    mesh = Mesh(xg=xg, ien=ien, boundaries=boundaries, lattice=(nx, ny, nz))
     return mesh

@@ -46,11 +46,18 @@ class Boundary:
 
 @dataclass
 class Mesh:
-    """Tet mesh. `xg` is (N, 3) float; `ien` is (num_tet, 4) int32."""
+    """Tet mesh. `xg` is (N, 3) float; `ien` is (num_tet, 4) int32.
+
+    `lattice` is optional structured-mesh metadata `(nx, ny, nz)` set by
+    the box generator (mesh.gen.box_mesh): node id = ix + (nx+1)*(iy +
+    (ny+1)*iz) and cells carry the Kuhn 6-tet split. When present, solvers
+    may use the gather-free lattice fast path (fem.lattice); the
+    unstructured tables remain valid and authoritative either way."""
 
     xg: np.ndarray
     ien: np.ndarray
     boundaries: list[Boundary] = field(default_factory=list)
+    lattice: tuple[int, int, int] | None = None
 
     def __post_init__(self) -> None:
         self.xg = np.ascontiguousarray(self.xg, dtype=np.float64)

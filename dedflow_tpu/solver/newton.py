@@ -36,9 +36,16 @@ from dedflow_tpu.fem import dirichlet as dbc
 from dedflow_tpu.fem import ns
 from dedflow_tpu.fem.assembly import FEMContext, build_context
 from dedflow_tpu.fem.face import build_face_context
+from dedflow_tpu.fem.lattice import (
+    LatticeContext,
+    assemble_jacobian_t,
+    assemble_residual_t,
+    build_lattice_context,
+    field_norms_t,
+)
 from dedflow_tpu.mesh.mesh import Mesh
 from dedflow_tpu.solver.krylov import gmres
-from dedflow_tpu.solver.pc import NSFieldSplitPC
+from dedflow_tpu.solver.pc import NSFieldSplitPC, NSFieldSplitPCT
 from dedflow_tpu.sparse.topology import build_sparsity
 
 # ---------------------------------------------------------------------------
@@ -51,7 +58,15 @@ def residual(
     source=None, nodal_force=None, scatter_method="segment",
     elements_kernel="xla",
 ):
+    """Residual at the alpha states. On a LatticeContext the result is the
+    component-major (6, N) residual of the gather-free fast path; the
+    Newton/GMRES layer is layout-agnostic (fem.lattice)."""
     wa, dwa = ns.alpha_states(wgold, dwgold, dwg, scheme)
+    if isinstance(ctx, LatticeContext):
+        return assemble_residual_t(
+            ctx, face_ctxs, mask, wa, dwa, phys, scheme, freeze, source,
+            nodal_force,
+        )
     return ns.assemble_residual(
         ctx, face_ctxs, mask, wa, dwa, phys, scheme, freeze, chunk, source,
         nodal_force, scatter_method, elements_kernel,
@@ -61,10 +76,22 @@ def residual(
 def assemble_system(
     ctx, face_ctxs, mask, wgold, dwgold, dwg, phys, scheme,
     chunk=None, scatter_method="segment", scalar_implicit=False,
-    elements_kernel="xla",
+    elements_kernel="xla", pc_type="fieldsplit", pc_sweeps=6, pc_omega=0.8,
 ):
-    """Assemble the Jacobian + its preconditioner at the current state."""
+    """Assemble the Jacobian + its preconditioner at the current state.
+    pc_type "simple" (lattice path) builds the SIMPLE pressure-Schur PC
+    (solver.pc.SIMPLEPCT) instead of the reference's block-Jacobi
+    decomposition."""
     wa, dwa = ns.alpha_states(wgold, dwgold, dwg, scheme)
+    if isinstance(ctx, LatticeContext):
+        jmat = assemble_jacobian_t(ctx, face_ctxs, mask, wa, dwa, phys, scheme)
+        if pc_type == "simple":
+            from dedflow_tpu.solver.pc import SIMPLEPCT
+
+            return jmat, SIMPLEPCT.from_matrix(
+                jmat, sweeps=pc_sweeps, omega=pc_omega
+            )
+        return jmat, NSFieldSplitPCT.from_diag_rows(jmat.diag_rows())
     jmat = ns.assemble_jacobian(
         ctx, face_ctxs, mask, wa, dwa, phys, scheme, chunk, scatter_method,
         scalar_implicit, elements_kernel,
@@ -78,8 +105,9 @@ def solve_update(
     elements_kernel="xla",
 ):
     """GMRES(J) dx = F; dwg -= dx; reassemble F (main.c:211-265)."""
+    lat = isinstance(ctx, LatticeContext)
     sol = gmres(
-        jmat.matvec,
+        jmat.matvec_t if lat else jmat.matvec,
         f,
         maxit=kcfg.max_iter,
         atol=kcfg.atol,
@@ -87,25 +115,28 @@ def solve_update(
         pc=pc,
         restart=kcfg.restart,
     )
-    dwg = dwg - sol.x  # main.c:226
+    dwg = dwg - (sol.x.T if lat else sol.x)  # main.c:226
     f = residual(
         ctx, face_ctxs, mask, wgold, dwgold, dwg, phys, scheme, freeze, chunk,
         source, nodal_force, scatter_method, elements_kernel,
     )
-    return dwg, f, ns.field_norms(f), sol.iters
+    norms = field_norms_t(f) if lat else ns.field_norms(f)
+    return dwg, f, norms, sol.iters
 
 
 def newton_iter(
     ctx, face_ctxs, mask, wgold, dwgold, dwg, f, phys, scheme, kcfg, freeze,
     chunk=None, scatter_method="segment", scalar_implicit=False, source=None,
-    elements_kernel="xla", nodal_force=None,
+    elements_kernel="xla", nodal_force=None, pc_type="fieldsplit",
+    pc_sweeps=6, pc_omega=0.8,
 ):
     """One Newton iteration (main.c:157-279 body): assemble J, solve
     GMRES(J) dx = F, update dwg, reassemble F. Returns
     (dwg, f, field_norms, krylov_iters)."""
     jmat, pc = assemble_system(
         ctx, face_ctxs, mask, wgold, dwgold, dwg, phys, scheme, chunk,
-        scatter_method, scalar_implicit, elements_kernel,
+        scatter_method, scalar_implicit, elements_kernel, pc_type,
+        pc_sweeps, pc_omega,
     )
     return solve_update(
         ctx, face_ctxs, mask, jmat, pc, wgold, dwgold, dwg, f, phys, scheme,
@@ -150,6 +181,9 @@ def step_fixed(
     elements_kernel="xla",
     nodal_force=None,
     lag_jacobian=False,
+    pc_type="fieldsplit",
+    pc_sweeps=6,
+    pc_omega=0.8,
 ):
     """One full time step with a fixed Newton iteration count, suitable for
     a single jit with zero host syncs (benchmarks, sharded execution)."""
@@ -162,7 +196,8 @@ def step_fixed(
     if lag_jacobian:
         jmat, pc = assemble_system(
             ctx, face_ctxs, mask, wgold, dwgold, dwg, phys, scheme, chunk,
-            scatter_method, scalar_implicit, elements_kernel,
+            scatter_method, scalar_implicit, elements_kernel, pc_type,
+            pc_sweeps, pc_omega,
         )
 
         def body(_, carry):
@@ -181,7 +216,7 @@ def step_fixed(
             dwg, f, _, _ = newton_iter(
                 ctx, face_ctxs, mask, wgold, dwgold, dwg, f, phys, scheme, kcfg,
                 freeze, chunk, scatter_method, scalar_implicit, source,
-                elements_kernel, nodal_force,
+                elements_kernel, nodal_force, pc_type, pc_sweeps, pc_omega,
             )
             return dwg, f
 
@@ -228,6 +263,30 @@ class NSSolver:
             mask_np[0, 3] = True  # remove the constant-pressure null mode
         self.mask = jnp.asarray(mask_np)
 
+        # Gather-free structured fast path (fem.lattice): box lattices,
+        # whole-mesh, frozen scalars. The general FEMContext stays
+        # authoritative for face tables, I/O and coupling.
+        use_lat = (
+            getattr(cfg, "use_lattice", "auto") != "off"
+            and mesh.lattice is not None
+            and cfg.assembly_chunk is None
+            and not cfg.implicit_scalars
+        )
+        self.lctx = None
+        if use_lat:
+            lctx = build_lattice_context(mesh, dtype=dtype)
+            # face scatter plans are expressed in the FEMContext's DIA
+            # plane order; require agreement (tiny boxes may not realize
+            # every lattice offset in their sparsity).
+            if self.ctx.dia_offsets == lctx.offsets:
+                self.lctx = lctx
+            elif getattr(cfg, "use_lattice", "auto") == "on":
+                raise ValueError(
+                    "use_lattice='on' but the mesh sparsity does not match "
+                    "the lattice stencil"
+                )
+        self.solve_ctx = self.lctx if self.lctx is not None else self.ctx
+
         phys, scheme, kcfg = cfg.physics, cfg.time, cfg.krylov
         freeze = cfg.freeze_phi_temperature
         chunk = cfg.assembly_chunk
@@ -236,6 +295,9 @@ class NSSolver:
             scatter_method=cfg.scatter_method,
             scalar_implicit=cfg.implicit_scalars,
             elements_kernel=cfg.elements_kernel,
+            pc_type=getattr(kcfg, "pc", "fieldsplit"),
+            pc_sweeps=getattr(kcfg, "pc_schur_sweeps", 6),
+            pc_omega=getattr(kcfg, "pc_schur_omega", 0.8),
         )
 
         self._residual = jax.jit(
@@ -245,7 +307,9 @@ class NSSolver:
                 elements_kernel=cfg.elements_kernel,
             )
         )
-        self._norms = jax.jit(lambda f: ns.field_norms(f))
+        self._norms = jax.jit(
+            field_norms_t if self.lctx is not None else ns.field_norms
+        )
         self._newton_iter = jax.jit(partial(newton_iter, **static))
         self._assemble_system = jax.jit(
             partial(
@@ -253,6 +317,9 @@ class NSSolver:
                 scatter_method=cfg.scatter_method,
                 scalar_implicit=cfg.implicit_scalars,
                 elements_kernel=cfg.elements_kernel,
+                pc_type=getattr(kcfg, "pc", "fieldsplit"),
+                pc_sweeps=getattr(kcfg, "pc_schur_sweeps", 6),
+                pc_omega=getattr(kcfg, "pc_schur_omega", 0.8),
             )
         )
         self._solve_update = jax.jit(
@@ -273,7 +340,7 @@ class NSSolver:
         """A self-contained jittable (wgold, dwgold, dwg) -> new states
         closure over this solver's contexts, for export/compile checks."""
         cfg = self.cfg
-        ctx, face_ctxs, mask = self.ctx, self.face_ctxs, self.mask
+        ctx, face_ctxs, mask = self.solve_ctx, self.face_ctxs, self.mask
 
         def fn(wgold, dwgold, dwg):
             return step_fixed(
@@ -306,7 +373,7 @@ class NSSolver:
         (reference semantics, main.c:157-279)."""
         ncfg = self.cfg.newton
         f = self._residual(
-            self.ctx, self.face_ctxs, self.mask, wgold, dwgold, dwg, source=source,
+            self.solve_ctx, self.face_ctxs, self.mask, wgold, dwgold, dwg, source=source,
             nodal_force=nodal_force,
         )
         rnorm0 = np.asarray(self._norms(f)) + 1e-16  # main.c:152-155
@@ -314,17 +381,17 @@ class NSSolver:
         lagged = None
         if ncfg.lag_jacobian:
             lagged = self._assemble_system(
-                self.ctx, self.face_ctxs, self.mask, wgold, dwgold, dwg
+                self.solve_ctx, self.face_ctxs, self.mask, wgold, dwgold, dwg
             )
         for _ in range(ncfg.max_iter):
             if lagged is not None:
                 dwg, f, rn, kit = self._solve_update(
-                    self.ctx, self.face_ctxs, self.mask, lagged[0], lagged[1],
+                    self.solve_ctx, self.face_ctxs, self.mask, lagged[0], lagged[1],
                     wgold, dwgold, dwg, f, source=source, nodal_force=nodal_force,
                 )
             else:
                 dwg, f, rn, kit = self._newton_iter(
-                    self.ctx, self.face_ctxs, self.mask, wgold, dwgold, dwg, f,
+                    self.solve_ctx, self.face_ctxs, self.mask, wgold, dwgold, dwg, f,
                     source=source, nodal_force=nodal_force,
                 )
             rn = np.asarray(rn)
@@ -351,6 +418,6 @@ class NSSolver:
     ):
         """Fully-jitted step with a fixed Newton iteration count."""
         return self._step_fixed(
-            self.ctx, self.face_ctxs, self.mask, wgold, dwgold, dwg,
+            self.solve_ctx, self.face_ctxs, self.mask, wgold, dwgold, dwg,
             num_newton=num_newton, source=source, nodal_force=nodal_force,
         )

@@ -1,0 +1,93 @@
+"""Pallas TPU kernel for the component-major DIA SpMV.
+
+The XLA formulation of FSDIAMatrixT.matvec_t (15 shifted slices of x, 270
+multiply-accumulate rows) runs at ~90-150 GB/s effective on v5e because
+the single mega-fusion juggles ~300 input streams. This kernel streams
+the matrix data once (the unavoidable traffic) and keeps a haloed window
+of x in VMEM, hitting ~1.5 GB effective traffic per matvec at near-stream
+bandwidth: measured 0.82 ms vs 2.2-3.1 ms for the XLA variants at 1M tets.
+
+Replaces the reference's per-submatrix cuSPARSE SpMV grid
+(MatrixFSAMVPBY, matrix.c:471-497) on lattice meshes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dedflow_tpu.sparse.fsbsr import PHIPHI, PP, PU, TT, UP, UU
+
+_E = 4096  # lanes (rows of the matrix) per grid step
+
+
+def _mv_kernel(xpad_hbm, d_ref, o_ref, *, offsets, dpad, e):
+    def body(win, sem):
+        k = pl.program_id(0)
+        dma = pltpu.make_async_copy(
+            xpad_hbm.at[:, pl.ds(k * e, e + 2 * dpad)], win, sem
+        )
+        dma.start()
+        dma.wait()
+        acc = [jnp.zeros((1, e), jnp.float32) for _ in range(6)]
+        for kk, o in enumerate(offsets):
+            s = dpad + o
+            xs = [win[j : j + 1, s : s + e] for j in range(6)]
+            c = lambda comp, kk=kk: d_ref[kk * 18 + comp : kk * 18 + comp + 1, :]
+            for i in range(3):
+                acc[i] = (
+                    acc[i]
+                    + c(UU(i, 0)) * xs[0]
+                    + c(UU(i, 1)) * xs[1]
+                    + c(UU(i, 2)) * xs[2]
+                    + c(UP(i)) * xs[3]
+                )
+            acc[3] = (
+                acc[3]
+                + c(PU(0)) * xs[0]
+                + c(PU(1)) * xs[1]
+                + c(PU(2)) * xs[2]
+                + c(PP) * xs[3]
+            )
+            acc[4] = acc[4] + c(PHIPHI) * xs[4]
+            acc[5] = acc[5] + c(TT) * xs[5]
+        o_ref[:, :] = jnp.concatenate(acc, axis=0)
+
+    pl.run_scoped(
+        body,
+        win=pltpu.VMEM((8, e + 2 * dpad), jnp.float32),
+        sem=pltpu.SemaphoreType.DMA(()),
+    )
+
+
+def dia_matvec_pallas(
+    data: jnp.ndarray,  # (D, 18, N) f32
+    x_t: jnp.ndarray,  # (6, N) f32
+    offsets: tuple,
+) -> jnp.ndarray:
+    """(6, N) = A @ x for the component-major DIA matrix (TPU path)."""
+    d, _, n = data.shape
+    dmax = max(max(abs(o) for o in offsets), 1)
+    dpad = (dmax + 127) // 128 * 128
+    npad = (n + _E - 1) // _E * _E
+    # 8 sublanes: Mosaic DMA slices must be sublane-tile aligned.
+    xpad = jnp.pad(x_t, ((0, 2), (dpad, dpad + npad - n)))
+    dmat = data.reshape(d * 18, n)
+    if npad != n:
+        dmat = jnp.pad(dmat, ((0, 0), (0, npad - n)))
+    kern = functools.partial(_mv_kernel, offsets=offsets, dpad=dpad, e=_E)
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((6, npad), jnp.float32),
+        grid=(npad // _E,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((d * 18, _E), lambda k: (0, k), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((6, _E), lambda k: (0, k), memory_space=pltpu.VMEM),
+    )(xpad, dmat)
+    return out[:, :n]

@@ -248,3 +248,200 @@ class FSDIAMatrix:
                     d[k, rows[ok], comp],
                 )
         return dense
+
+
+def keep_pc_rows(mask_t: jnp.ndarray, dtype) -> jnp.ndarray:
+    """(18, N) per-packed-component row-keep factors from a (6, N) mask."""
+    keep = 1.0 - mask_t.astype(dtype)
+    return jnp.concatenate(
+        [keep[bi : bi + 1] for _, bi, _ in COMP_SLOTS], axis=0
+    )
+
+
+def diag_add_rows(mask_t: jnp.ndarray, dtype) -> jnp.ndarray:
+    """(18, N) unit-diagonal additions (nonzero only on the 6 diagonal
+    packed components) from a (6, N) mask; static row construction."""
+    add = mask_t.astype(dtype)  # (6, N)
+    diag_of = {int(c): i for i, c in enumerate(DIAG_COMPS)}
+    zero = jnp.zeros_like(add[0:1])
+    rows = [
+        add[diag_of[comp] : diag_of[comp] + 1] if comp in diag_of else zero
+        for comp in range(NUM_COMP)
+    ]
+    return jnp.concatenate(rows, axis=0)
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class FSDIAMatrixT:
+    """Component-major DIA field-split matrix: data (D, 18, N) with the
+    node axis on LANES (minor dim) — the TPU-native layout.
+
+    Rationale (measured on v5e): XLA fuses static shifted lane-slices at
+    ~2.4 TB/s effective, while any gather runs at 4-50 GB/s; with 18-wide
+    component rows on sublanes and N on lanes, the SpMV, the row masking,
+    the diagonal extraction, and the PC apply are all pure dense row ops
+    over (.., N) arrays. Vectors travel as (6, N) (component-major), the
+    transpose of the (N, 6) state layout used at the API boundary.
+
+    Same packed component order as FSBSRMatrix; replaces the reference's
+    4x4 cuSPARSE submatrix grid (matrix.h:93-103) on lattice meshes.
+    """
+
+    data: jnp.ndarray  # (D, 18, N)
+    offsets: tuple = dataclass_field(metadata=dict(static=True))
+    # "pallas" = fused halo-window TPU SpMV (sparse.dia_kernels, f32);
+    # "xla" = shifted-slice formulation (any dtype / any backend).
+    backend: str = dataclass_field(default="xla", metadata=dict(static=True))
+
+    @property
+    def num_rows(self) -> int:
+        return int(self.data.shape[2])
+
+    def matvec_t(self, x_t: jnp.ndarray) -> jnp.ndarray:
+        """(6, N) -> (6, N): gather-free SpMV."""
+        if self.backend == "pallas":
+            from dedflow_tpu.sparse.dia_kernels import dia_matvec_pallas
+
+            return dia_matvec_pallas(self.data, x_t, self.offsets).astype(
+                x_t.dtype
+            )
+        n = self.data.shape[2]
+        offs = self.offsets
+        m = max(max(abs(o) for o in offs), 1)
+        xpad = jnp.pad(x_t, ((0, 0), (m, m)))
+        d = self.data
+        # (D, 6, N) shifted copies of x, then plane-axis reductions: the
+        # measured-fastest pure-XLA formulation (sum over the leading axis
+        # vectorizes; one mega-fusion of 15 shifted streams does not).
+        xs = jnp.stack(
+            [jax.lax.slice_in_dim(xpad, m + o, m + o + n, axis=1) for o in offs]
+        )
+        y = [
+            jnp.sum(
+                d[:, UU(i, 0)] * xs[:, 0]
+                + d[:, UU(i, 1)] * xs[:, 1]
+                + d[:, UU(i, 2)] * xs[:, 2]
+                + d[:, UP(i)] * xs[:, 3],
+                axis=0,
+            )
+            for i in range(3)
+        ]
+        y.append(
+            jnp.sum(
+                d[:, PU(0)] * xs[:, 0]
+                + d[:, PU(1)] * xs[:, 1]
+                + d[:, PU(2)] * xs[:, 2]
+                + d[:, PP] * xs[:, 3],
+                axis=0,
+            )
+        )
+        y.append(jnp.sum(d[:, PHIPHI] * xs[:, 4], axis=0))
+        y.append(jnp.sum(d[:, TT] * xs[:, 5], axis=0))
+        return jnp.stack(y)
+
+    def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
+        """(N, 6) -> (N, 6) compatibility wrapper (two small transposes)."""
+        return self.matvec_t(x.T).T
+
+    # -- component-restricted matvecs (SIMPLE/Schur PC, solver.pc) -----
+    def _xs_stack(self, x: jnp.ndarray) -> jnp.ndarray:
+        """(k, N) rows -> (D, k, N) stack of offset-shifted copies."""
+        n = self.data.shape[2]
+        m = max(max(abs(o) for o in self.offsets), 1)
+        xpad = jnp.pad(x, ((0, 0), (m, m)))
+        return jnp.stack(
+            [
+                jax.lax.slice_in_dim(xpad, m + o, m + o + n, axis=1)
+                for o in self.offsets
+            ]
+        )
+
+    def matvec_up(self, p: jnp.ndarray) -> jnp.ndarray:
+        """(N,) pressure -> (3, N) velocity rows: the A_up block only."""
+        ps = self._xs_stack(p[None, :])[:, 0]  # (D, N)
+        d = self.data
+        return jnp.stack(
+            [jnp.sum(d[:, UP(i)] * ps, axis=0) for i in range(3)]
+        )
+
+    def matvec_pu(self, u: jnp.ndarray) -> jnp.ndarray:
+        """(3, N) velocity -> (N,) pressure row: the A_pu block only."""
+        us = self._xs_stack(u)  # (D, 3, N)
+        d = self.data
+        return jnp.sum(
+            d[:, PU(0)] * us[:, 0]
+            + d[:, PU(1)] * us[:, 1]
+            + d[:, PU(2)] * us[:, 2],
+            axis=0,
+        )
+
+    def matvec_pp(self, p: jnp.ndarray) -> jnp.ndarray:
+        """(N,) -> (N,): the A_pp block only."""
+        ps = self._xs_stack(p[None, :])[:, 0]
+        return jnp.sum(self.data[:, PP] * ps, axis=0)
+
+    # ------------------------------------------------------------------
+    @property
+    def _d0(self) -> int:
+        return self.offsets.index(0)
+
+    def diag_rows(self) -> jnp.ndarray:
+        """(18, N) packed diagonal-block rows (PC setup)."""
+        return self.data[self._d0]
+
+    def schur_diag(self, duinv_rows: jnp.ndarray) -> jnp.ndarray:
+        """(N,) diagonal of the approximate pressure Schur complement
+        S_hat = A_pp - A_pu inv(D_u) A_up, where duinv_rows (9, N) are the
+        row-major inverse velocity diagonal blocks (NSFieldSplitPCT).
+
+        diag entry n = A_pp[0][n] - sum_o sum_ij pu_i[o][n] *
+        duinv[ij][n+o] * up_j[-o][n+o]: all shifted-row products (135
+        terms), gather-free on the lattice."""
+        d = self.data
+        n = d.shape[2]
+        m = max(max(abs(o) for o in self.offsets), 1)
+        neg = {o: k for k, o in enumerate(self.offsets)}
+        pad = lambda a: jnp.pad(a, ((0, 0), (m, m)))
+        hpad = pad(duinv_rows)  # (9, N+2m)
+        acc = d[self._d0, PP, :]
+        for k, o in enumerate(self.offsets):
+            if -o not in neg:
+                continue
+            kneg = neg[-o]
+            sh = lambda a: jax.lax.slice_in_dim(a, m + o, m + o + n, axis=1)
+            h = sh(hpad)  # (9, N) rows at n+o
+            up = sh(pad(d[kneg, UP(0) : UP(0) + 3, :]))  # (3, N) at n+o
+            for i in range(3):
+                pu_i = d[k, PU(i), :]
+                for j in range(3):
+                    acc = acc - pu_i * h[i * 3 + j] * up[j]
+        return acc
+
+    def zero_rows_t(self, mask_t: jnp.ndarray, unit_diag: bool = True) -> "FSDIAMatrixT":
+        """mask_t: (6, N) boolean; True = constrained (component, node).
+        Zero constrained rows + unit diagonal (dirichlet.c:47-61).
+
+        Written as one fused per-plane pass with STATIC row indices: a
+        dynamic `.at[d0, comps, :].add` lowers to a scatter that copies
+        the whole O(N * D * 18) buffer (measured ~7 ms at 1M tets)."""
+        dtype = self.data.dtype
+        keep_pc = keep_pc_rows(mask_t, dtype)  # (18, N)
+        add18 = diag_add_rows(mask_t, dtype) if unit_diag else None
+        planes = []
+        for k in range(self.data.shape[0]):
+            p = self.data[k] * keep_pc
+            if add18 is not None and k == self._d0:
+                p = p + add18
+            planes.append(p)
+        return FSDIAMatrixT(
+            data=jnp.stack(planes), offsets=self.offsets, backend=self.backend
+        )
+
+    def zero_rows(self, row_mask: jnp.ndarray, unit_diag: bool = True) -> "FSDIAMatrixT":
+        return self.zero_rows_t(row_mask.T, unit_diag)
+
+    def to_block_dense(self) -> np.ndarray:
+        return FSDIAMatrix(
+            data=jnp.transpose(self.data, (0, 2, 1)), offsets=self.offsets
+        ).to_block_dense()
