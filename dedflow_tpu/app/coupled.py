@@ -35,28 +35,52 @@ class CoupledConfig:
     dem: DEMConfig
     drag_mu: float = 1.0e-3  # fluid viscosity for the Stokes drag law
     substeps: int = 10  # DEM substeps per fluid step
-    # use the dense grid-resident DEM path (dem.grid; ~4x faster on TPU at
-    # 100k particles); requires uniform particle mass
-    use_grid: bool = False
+    # use the dense grid-resident DEM path (dem.grid; ~10x faster on TPU
+    # at 100k particles); requires uniform particle mass
+    use_grid: bool = True
 
 
 class CoupledSolver:
-    """Staggered FEM-DEM solver: NSSolver + DEM + drag exchange."""
+    """Staggered FEM-DEM solver: NS solver + DEM + drag exchange.
+
+    With `device_mesh` the fluid subsystem runs domain-decomposed
+    (parallel.sharded.ShardedNSSolver) and the coupling operates in the
+    partitioned node ordering: particle location/interpolation use the
+    partitioned mesh's context (identical physical coordinates, reordered
+    nodes), so the nodal reaction force and the fluid state share one
+    layout and no per-step reordering is needed. Padding elements are
+    degenerate and excluded by dem.coupling.locate's det_j > 0 filter.
+    The DEM subsystem itself stays replicated (its cost at 100k particles
+    is far below the fluid solve; BASELINE config #5)."""
 
     def __init__(self, mesh: Mesh, cfg: SolverConfig, ccfg: CoupledConfig,
-                 dtype=None):
-        self.fluid = NSSolver(mesh, cfg, dtype=dtype)
+                 dtype=None, device_mesh=None):
         self.ccfg = ccfg
-        self.grid = coupling.element_grid(mesh.xg, mesh.ien)
+        self.sharded = device_mesh is not None
+        if self.sharded:
+            from dedflow_tpu.parallel.sharded import ShardedNSSolver
+
+            self.fluid = ShardedNSSolver(mesh, cfg, device_mesh, dtype=dtype)
+            self._coupling_ctx = self.fluid.ctx  # partitioned + sharded
+            cmesh = self.fluid.pmesh
+        else:
+            self.fluid = NSSolver(mesh, cfg, dtype=dtype)
+            self._coupling_ctx = self.fluid.ctx
+            cmesh = mesh
+        self.grid = coupling.element_grid(cmesh.xg, cmesh.ien)
 
     def step(self, wg, dwgold, dwg, pstate: ParticleState):
-        """One coupled step; returns (wg, dwgold, dwg, pstate, stats)."""
+        """One coupled step; returns (wg, dwgold, dwg, pstate, stats).
+        Fluid state arrays are in the solver's native layout (sharded
+        partitioned order when device_mesh was given)."""
         f_p, f_nodes = coupling.drag_exchange(
-            self.grid, self.fluid.ctx, pstate, wg, self.ccfg.drag_mu
+            self.grid, self._coupling_ctx, pstate, wg, self.ccfg.drag_mu
         )
-        wg, dwgold, dwg, stats = self.fluid.step(
+        out = self.fluid.step(
             wg, dwgold, dwg, nodal_force=f_nodes.astype(wg.dtype)
         )
+        wg, dwgold, dwg = out[:3]
+        stats = out[3] if len(out) > 3 else None
         if self.ccfg.use_grid:
             from dedflow_tpu.dem.grid import dem_run_grid
 

@@ -40,10 +40,27 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--config", help="solver config JSON (config.SolverConfig)")
     p.add_argument(
         "--scenario",
-        choices=["reference", "melt-pool", "cavity"],
+        choices=["reference", "melt-pool", "cavity", "coupled"],
         default="reference",
         help="built-in scenario (reference channel flow / moving-laser DED / "
-        "lid-driven cavity)",
+        "lid-driven cavity / coupled FEM-DEM powder settling)",
+    )
+    p.add_argument(
+        "--particles", type=int, default=1000,
+        help="particle count for --scenario coupled",
+    )
+    p.add_argument(
+        "--particle-radius", type=float, default=None,
+        help="particle radius (default: ~5%% solids fraction)",
+    )
+    p.add_argument(
+        "--dem-substeps", type=int, default=10,
+        help="DEM substeps per fluid step (coupled scenario)",
+    )
+    p.add_argument(
+        "--no-dem-grid", action="store_true",
+        help="use the candidate-list DEM path instead of the dense "
+        "grid-resident one",
     )
     p.add_argument("--steps", type=int, default=None, help="override num_steps")
     p.add_argument("--save-every", type=int, default=None)
@@ -156,17 +173,42 @@ def main(argv=None) -> int:
     if args.dtype:
         dtype = jnp.float32 if args.dtype == "f32" else jnp.float64
 
-    # --- solver (single-chip or domain-decomposed)
+    # --- solver (single-chip or domain-decomposed; optionally coupled)
     sharded = args.devices > 1
-    if sharded:
+    coupled = args.scenario == "coupled"
+    csolver = pstate = None
+    dmesh = jax.make_mesh((args.devices,), ("dd",)) if sharded else None
+    if coupled:
+        from dedflow_tpu.app.coupled import CoupledSolver
+        from dedflow_tpu.app.scenarios import coupled_scenario_setup
+
+        ccfg, pstate = coupled_scenario_setup(
+            mesh,
+            num_particles=args.particles,
+            radius=args.particle_radius,
+            substeps=args.dem_substeps,
+            use_grid=not args.no_dem_grid,
+        )
+        csolver = CoupledSolver(mesh, cfg, ccfg, dtype=dtype, device_mesh=dmesh)
+        solver = csolver.fluid
+        log.info(
+            "coupled FEM-DEM: %d particles r=%.4g, %d DEM substeps/step, "
+            "grid path=%s",
+            pstate.num_particle,
+            float(np.asarray(pstate.radius)[0]),
+            args.dem_substeps,
+            not args.no_dem_grid,
+        )
+    elif sharded:
         from dedflow_tpu.parallel.sharded import ShardedNSSolver
 
-        dmesh = jax.make_mesh((args.devices,), ("dd",))
         solver = ShardedNSSolver(mesh, cfg, dmesh, dtype=dtype)
+    else:
+        solver = NSSolver(mesh, cfg, dtype=dtype)
+    if sharded:
         to_dev = solver.shard_state
         to_host = solver.gather_state
     else:
-        solver = NSSolver(mesh, cfg, dtype=dtype)
         to_dev = lambda a: jnp.asarray(a, dtype=solver.dtype)
         to_host = np.asarray
 
@@ -203,7 +245,11 @@ def main(argv=None) -> int:
                 src = to_dev(
                     laser_source(cfg.physics.laser, mesh.xg, t_alpha)
                 )
-            if args.fixed_newton:
+            if coupled:
+                wg, dwgold, dwg, pstate, stats = csolver.step(
+                    wg, dwgold, dwg, pstate
+                )
+            elif args.fixed_newton:
                 wg, dwgold, dwg = solver.step_fixed(
                     wg, dwgold, dwg, num_newton=args.fixed_newton, source=src
                 )
@@ -244,6 +290,13 @@ def main(argv=None) -> int:
                     step=step,
                     time=step * dt,
                 )
+                if coupled:
+                    from dedflow_tpu.dem.particles import save_particles
+
+                    save_particles(
+                        os.path.join(args.out, f"particles.{step}.h5"),
+                        "ptc", pstate,
+                    )
     metrics.close()
     return 0
 

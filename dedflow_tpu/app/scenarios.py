@@ -155,3 +155,56 @@ def melt_pool_initial_state(mesh: Mesh):
     wg = np.zeros((n, 6))
     wg[:, 4] = mesh.xg[:, 2] - 0.5
     return wg, np.zeros((n, 6)), np.zeros((n, 6))
+
+
+# ---------------------------------------------------------------------------
+# Coupled FEM-DEM powder settling (BASELINE config #5): particles released
+# in the upper region of the fluid box, two-way Stokes-drag coupled.
+# The reference only references a particle solve (SolveParticleSystem,
+# main.c:555, defined nowhere); the capability comes from BASELINE.md.
+
+
+def coupled_scenario_setup(
+    mesh: Mesh,
+    num_particles: int = 1000,
+    radius: float | None = None,
+    substeps: int = 10,
+    use_grid: bool = True,
+    drag_mu: float = 1.0e-3,
+    seed: int = 0,
+):
+    """(CoupledConfig, ParticleState) for a powder-settling cloud in the
+    top half of the mesh bounding box."""
+    from dedflow_tpu.app.coupled import CoupledConfig
+    from dedflow_tpu.dem.cells import make_grid
+    from dedflow_tpu.dem.integrate import DEMConfig
+    from dedflow_tpu.dem.particles import particle_state
+
+    lo = np.asarray(mesh.xg).min(axis=0)
+    hi = np.asarray(mesh.xg).max(axis=0)
+    ext = hi - lo
+    if radius is None:
+        # ~5% solids fraction in the release volume
+        vol = float(np.prod(ext)) * 0.5
+        radius = (0.05 * vol / max(num_particles, 1) * 3.0 / (4.0 * np.pi)) ** (
+            1.0 / 3.0
+        )
+    rng = np.random.RandomState(seed)
+    margin = 2.0 * radius
+    x_lo = lo + margin
+    x_hi = hi - margin
+    x_lo[2] = lo[2] + 0.5 * ext[2]  # top half
+    x = rng.uniform(x_lo, x_hi, size=(num_particles, 3))
+    pstate = particle_state(x, radius=radius, mass=1.0)
+    grid = make_grid(lo, hi, cell_size=2.5 * radius, capacity=8)
+    dem = DEMConfig(
+        grid=grid,
+        dt=1.0e-4,
+        walls_lo=tuple(lo),
+        walls_hi=tuple(hi),
+        linear_drag=6.0 * np.pi * drag_mu * radius,
+    )
+    ccfg = CoupledConfig(
+        dem=dem, drag_mu=drag_mu, substeps=substeps, use_grid=use_grid
+    )
+    return ccfg, pstate

@@ -38,14 +38,20 @@ def element_grid(
     from dedflow_tpu.dem.cells import cell_stats, make_grid
 
     xe = np.asarray(mesh_xg)[np.asarray(ien)]  # (ne, 4, 3)
+    # exclude degenerate (zero-volume) elements - the partitioned-mesh
+    # padding (parallel.partition) - from the capacity estimate: their
+    # centroids all collapse onto one point and would blow K up.
+    j = xe[:, 1:, :] - xe[:, :1, :]
+    real = np.abs(np.linalg.det(j)) > 0.0
+    xe_r = xe[real] if real.any() else xe
     diam = np.linalg.norm(
-        xe[:, :, None, :] - xe[:, None, :, :], axis=-1
+        xe_r[:, :, None, :] - xe_r[:, None, :, :], axis=-1
     ).max()
     lo = np.asarray(mesh_xg).min(axis=0)
     hi = np.asarray(mesh_xg).max(axis=0)
     grid = make_grid(lo, hi, float(diam) * 1.001, capacity=1)
     if capacity is None:
-        capacity = cell_stats(grid, xe.mean(axis=1))["max_per_cell"]
+        capacity = cell_stats(grid, xe_r.mean(axis=1))["max_per_cell"]
     return make_grid(lo, hi, float(diam) * 1.001, capacity=int(capacity))
 
 
@@ -70,6 +76,13 @@ def locate(
         tol = 1.0e-10 if x_p.dtype == jnp.float64 else 1.0e-5
     p = x_p.shape[0]
     centroids = jnp.mean(ctx.xg[ctx.ien], axis=1)  # (ne, 3)
+    # degenerate (padding) elements collapse onto a real node's position;
+    # push them into the ghost corner cell so they cannot crowd real
+    # elements out of a bucket (they are filtered by det_j > 0 below)
+    far = jnp.asarray(grid.origin, centroids.dtype) - 10.0 * grid.cell_size
+    centroids = jnp.where(
+        (ctx.det_j > 0.0)[:, None], centroids, far[None, :]
+    )
     buckets = build_buckets(grid, centroids)
     cand = candidate_lists(grid, x_p, buckets)  # (P, M) element ids; ne = empty
     ne = centroids.shape[0]

@@ -93,7 +93,9 @@ def build_context(
     elements are degenerate (all-node-0), so their geometry and every
     weak-form contribution are exactly zero (fem.element.tet_geometry)."""
     if sparsity is None:
-        sparsity = build_sparsity(mesh.ien, mesh.num_node)
+        sparsity = build_sparsity(
+            mesh.ien, mesh.num_node, extra_ien=mesh.extra_cells
+        )
     if dtype is None:
         dtype = jnp.zeros(0).dtype  # default float of current x64 mode
     ien_np = np.asarray(mesh.ien, dtype=np.int32)

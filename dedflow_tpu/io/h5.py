@@ -63,6 +63,14 @@ def write_mesh_h5(path: str, mesh: Mesh) -> None:
     with h5py.File(path, "w") as f:
         f.create_dataset("mesh/xg", data=mesh.xg.ravel())
         f.create_dataset("mesh/ien/tet", data=mesh.ien.ravel().astype(INDEX_DTYPE))
+        if mesh.ien_prism is not None:
+            f.create_dataset(
+                "mesh/ien/prism", data=mesh.ien_prism.ravel().astype(INDEX_DTYPE)
+            )
+        if mesh.ien_hex is not None:
+            f.create_dataset(
+                "mesh/ien/hex", data=mesh.ien_hex.ravel().astype(INDEX_DTYPE)
+            )
         node_offset = [0]
         elem_offset = [0]
         nodes, tris, f2e, forn = [], [], [], []
@@ -97,6 +105,14 @@ def read_mesh_h5(path: str, group: str = "mesh") -> Mesh:
         g = f[group]
         xg = np.asarray(g["xg"]).reshape(-1, 3)
         ien = np.asarray(g["ien/tet"], dtype=INDEX_DTYPE).reshape(-1, 4)
+        # mixed-cell tables (MeshData.h:27-29): preserved, stencil-only
+        ien_prism = ien_hex = None
+        if "ien/prism" in g:
+            v = np.asarray(g["ien/prism"], dtype=INDEX_DTYPE).reshape(-1, 6)
+            ien_prism = v if v.size else None
+        if "ien/hex" in g:
+            v = np.asarray(g["ien/hex"], dtype=INDEX_DTYPE).reshape(-1, 8)
+            ien_hex = v if v.size else None
         boundaries: list[Boundary] = []
         if "bound" in g:
             b = g["bound"]
@@ -117,7 +133,10 @@ def read_mesh_h5(path: str, group: str = "mesh") -> Mesh:
                         forn=forn[e0:e1],
                     )
                 )
-    return Mesh(xg=xg, ien=ien, boundaries=boundaries)
+    return Mesh(
+        xg=xg, ien=ien, boundaries=boundaries,
+        ien_prism=ien_prism, ien_hex=ien_hex,
+    )
 
 
 def write_solution_h5(

@@ -58,10 +58,21 @@ class Mesh:
     ien: np.ndarray
     boundaries: list[Boundary] = field(default_factory=list)
     lattice: tuple[int, int, int] | None = None
+    # Mixed-cell connectivity, mirroring the reference's MeshData slots
+    # (MeshData.h:27-29). Like the reference (whose prism/hex assembly and
+    # coloring are empty, csr.c:107-130 builds only their sparsity), these
+    # cells contribute matrix STENCIL entries but are not assembled over.
+    ien_prism: np.ndarray | None = None  # (num_prism, 6)
+    ien_hex: np.ndarray | None = None  # (num_hex, 8)
 
     def __post_init__(self) -> None:
         self.xg = np.ascontiguousarray(self.xg, dtype=np.float64)
         self.ien = np.ascontiguousarray(self.ien, dtype=INDEX_DTYPE)
+        for name in ("ien_prism", "ien_hex"):
+            v = getattr(self, name)
+            if v is not None:
+                v = np.ascontiguousarray(v, dtype=INDEX_DTYPE)
+                setattr(self, name, v if v.size else None)
 
     @property
     def num_node(self) -> int:
@@ -75,6 +86,19 @@ class Mesh:
     def num_bound(self) -> int:
         return len(self.boundaries)
 
+    @property
+    def num_prism(self) -> int:
+        return 0 if self.ien_prism is None else int(self.ien_prism.shape[0])
+
+    @property
+    def num_hex(self) -> int:
+        return 0 if self.ien_hex is None else int(self.ien_hex.shape[0])
+
+    @property
+    def extra_cells(self) -> list[np.ndarray]:
+        """Non-tet connectivity tables (sparsity stencils only)."""
+        return [t for t in (self.ien_prism, self.ien_hex) if t is not None]
+
     @cached_property
     def tet_volumes(self) -> np.ndarray:
         """Signed volumes (host-side sanity check; detJ = 6*|vol|)."""
@@ -84,6 +108,8 @@ class Mesh:
 
     def validate(self) -> None:
         assert self.ien.min() >= 0 and self.ien.max() < self.num_node
+        for t in self.extra_cells:
+            assert t.min() >= 0 and t.max() < self.num_node
         for b in self.boundaries:
             assert b.f2e.shape == b.forn.shape == (b.num_facet,)
             assert b.ien.shape == (b.num_facet, 3)

@@ -150,12 +150,14 @@ class ShardedNSSolver:
         return unpermute_state(self.info, np.asarray(state))
 
     # ------------------------------------------------------------------
-    def residual(self, wgold, dwgold, dwg, source=None):
+    def residual(self, wgold, dwgold, dwg, source=None, nodal_force=None):
         return self._residual(
-            self.ctx, self.face_ctxs, self.mask, wgold, dwgold, dwg, source=source
+            self.ctx, self.face_ctxs, self.mask, wgold, dwgold, dwg,
+            source=source, nodal_force=nodal_force,
         )
 
-    def step_fixed(self, wgold, dwgold, dwg, num_newton: int = 4, source=None):
+    def step_fixed(self, wgold, dwgold, dwg, num_newton: int = 4, source=None,
+                   nodal_force=None):
         return self._step_fixed(
             self.ctx,
             self.face_ctxs,
@@ -165,18 +167,21 @@ class ShardedNSSolver:
             dwg,
             num_newton=num_newton,
             source=source,
+            nodal_force=nodal_force,
         )
 
-    def step(self, wgold, dwgold, dwg, source=None):
-        """Adaptive-Newton step (host convergence checks), sharded."""
+    def step(self, wgold, dwgold, dwg, source=None, nodal_force=None):
+        """Adaptive-Newton step (host convergence checks), sharded.
+        `nodal_force` (N_padded, 3) is in the partitioned node order (the
+        coupled FEM-DEM drag reaction, app.coupled)."""
         dwg = self._predict(dwg)
         ncfg = self.cfg.newton
-        f = self.residual(wgold, dwgold, dwg, source)
+        f = self.residual(wgold, dwgold, dwg, source, nodal_force)
         rnorm0 = np.asarray(self.solver._norms(f)) + 1e-16
         for _ in range(ncfg.max_iter):
             dwg, f, rn, _ = self._newton_iter(
                 self.ctx, self.face_ctxs, self.mask, wgold, dwgold, dwg, f,
-                source=source,
+                source=source, nodal_force=nodal_force,
             )
             rn = np.asarray(rn)
             if ((rn < ncfg.rtol * rnorm0) | (rn < ncfg.atol)).all():

@@ -242,7 +242,9 @@ class NSSolver:
     def __init__(self, mesh: Mesh, cfg: SolverConfig, dtype=None):
         self.mesh = mesh
         self.cfg = cfg
-        self.sparsity = build_sparsity(mesh.ien, mesh.num_node)
+        self.sparsity = build_sparsity(
+            mesh.ien, mesh.num_node, extra_ien=mesh.extra_cells
+        )
         self.ctx = build_context(
             mesh, self.sparsity, dtype=dtype, chunk=cfg.assembly_chunk
         )

@@ -70,7 +70,12 @@ class Sparsity:
         )
 
 
-def build_sparsity(ien: np.ndarray, num_node: int, native: bool = True) -> Sparsity:
+def build_sparsity(
+    ien: np.ndarray,
+    num_node: int,
+    native: bool = True,
+    extra_ien: list | None = None,
+) -> Sparsity:
     """Build the nodal sparsity of the tet mesh and the element scatter map.
 
     The flat key (row * N + col) of the unique node pairs, sorted ascending,
@@ -78,9 +83,17 @@ def build_sparsity(ien: np.ndarray, num_node: int, native: bool = True) -> Spars
     searchsorted - no hashmaps (csr.c) and no per-scatter linear col search
     (matrix_impl.cu:103-107).
 
+    `extra_ien` is a list of mixed-cell connectivity tables ((nc, 6)
+    prisms, (nc, 8) hexes): their node-pair stencils enter the sparsity
+    exactly as in the reference (csr.c:107-130) even though, also like the
+    reference, only tets are assembled over. Their pairs get no entries in
+    `elem_nnz` (which is the tet scatter map).
+
     With `native` (default), the C++ fast path (native/topology.cpp) does
     the key sort; this NumPy body is the oracle and fallback.
     """
+    if extra_ien:
+        native = False  # mixed stencils take the NumPy path
     if native:
         from dedflow_tpu import native as _native
 
@@ -112,7 +125,14 @@ def build_sparsity(ien: np.ndarray, num_node: int, native: bool = True) -> Spars
     # (isolated nodes exist as padding in partitioned meshes; their rows
     # become unit-diagonal Dirichlet rows).
     diag_keys = np.arange(n, dtype=np.int64) * (n + 1)
-    uniq = np.unique(np.concatenate([keys, diag_keys]))
+    all_keys = [keys, diag_keys]
+    for tbl in extra_ien or ():
+        t = np.asarray(tbl, dtype=np.int64)
+        k = t.shape[1]
+        r = np.repeat(t, k, axis=1)
+        c = np.tile(t, (1, k))
+        all_keys.append((r * n + c).ravel())
+    uniq = np.unique(np.concatenate(all_keys))
     col_ind = (uniq % n).astype(INDEX_DTYPE)
     row_of = (uniq // n).astype(np.int64)
     counts = np.bincount(row_of, minlength=n)

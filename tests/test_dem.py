@@ -92,21 +92,23 @@ def test_wall_bounce_stays_inside():
 
 
 def test_settling_comes_to_rest():
+    # sized for suite latency: 24 particles, dt=1e-4 (well under the
+    # contact stability limit 2*sqrt(m/k_n) ~ 9e-3), 1.2 s simulated
     rng = np.random.default_rng(3)
-    x = rng.uniform(0.1, 0.9, size=(50, 3)) * np.array([1.0, 1.0, 0.5])
-    x[:, 2] += 0.2
+    x = rng.uniform(0.1, 0.9, size=(24, 3)) * np.array([1.0, 1.0, 0.4])
+    x[:, 2] += 0.15
     st = particle_state(x, radius=0.04, mass=1.0)
     grid = make_grid([0, 0, 0], [1, 1, 1], cell_size=0.1, capacity=24)
     cfg = DEMConfig(
         grid=grid,
         contact=ContactParams(k_n=5e4, gamma_n=300.0),
         gravity=(0.0, 0.0, -9.81),
-        dt=5e-5,
+        dt=1e-4,
         walls_lo=(0.0, 0.0, 0.0),
         walls_hi=(1.0, 1.0, 1.0),
         linear_drag=2.0,
     )
-    out = dem_run(cfg, st, 30000)  # 1.5 s simulated
+    out = dem_run(cfg, st, 12000)  # 1.2 s simulated
     # at rest on the floor: low kinetic energy, all particles near z ~ radius
     assert float(kinetic_energy(out)) < 5e-2
     assert float(jnp.max(out.x[:, 2])) < 0.5  # pile collapsed

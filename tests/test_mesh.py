@@ -85,3 +85,39 @@ def test_solution_h5_roundtrip(tmp_path):
     assert np.allclose(out["wg"][:, 4:], wg[:, 4:])
     assert np.allclose(out["dwg"], dwg)
     assert out["step"] == 10 and out["time"] == 0.5
+
+
+def test_mixed_cell_mesh_roundtrip(tmp_path):
+    """Prism/hex connectivity survives the HDF5 round trip and enters the
+    sparsity stencil (reference parity: MeshData.h:27-29, csr.c:107-130;
+    assembly stays tet-only like the reference's)."""
+    from dedflow_tpu.io.h5 import read_mesh_h5, write_mesh_h5
+    from dedflow_tpu.sparse.topology import build_sparsity
+
+    mesh = box_mesh(2, 2, 2)
+    n = mesh.num_node
+    # a prism and a hex over existing nodes (stencil-only tables)
+    mesh.ien_prism = np.array([[0, 1, 3, 9, 10, 12]], dtype=np.int32)
+    mesh.ien_hex = np.array([[0, 1, 4, 3, 9, 10, 13, 12]], dtype=np.int32)
+    path = str(tmp_path / "mixed.h5")
+    write_mesh_h5(path, mesh)
+    back = read_mesh_h5(path)
+    np.testing.assert_array_equal(back.ien_prism, mesh.ien_prism)
+    np.testing.assert_array_equal(back.ien_hex, mesh.ien_hex)
+    back.validate()
+
+    sp_tet = build_sparsity(mesh.ien, n)
+    sp_mix = build_sparsity(mesh.ien, n, extra_ien=back.extra_cells)
+    assert sp_mix.nnz > sp_tet.nnz
+    # every prism pair is present in the mixed sparsity
+    dense = np.zeros((n, n), dtype=bool)
+    dense[sp_mix.row_ids, sp_mix.col_ind] = True
+    pr = mesh.ien_prism[0]
+    assert dense[np.repeat(pr, 6), np.tile(pr, 6)].all()
+    hx = mesh.ien_hex[0]
+    assert dense[np.repeat(hx, 8), np.tile(hx, 8)].all()
+    # the tet scatter map is unaffected (still valid CSR positions)
+    keys_mix = sp_mix.row_ids[sp_mix.elem_nnz.ravel()]
+    np.testing.assert_array_equal(
+        keys_mix.reshape(-1), np.repeat(mesh.ien, 4, axis=1).ravel()
+    )

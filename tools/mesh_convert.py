@@ -44,6 +44,12 @@ def from_meshio(path: str) -> Mesh:
     if not tets:
         raise SystemExit("no tetrahedra in input mesh")
     ien = np.concatenate(tets).astype(INDEX_DTYPE)
+    # mixed cells: carried through to mesh/ien/{prism,hex} (stencil-only,
+    # as in the reference - MeshData.h:27-29, csr.c:107-130)
+    prisms = [c.data for c in m.cells if c.type == "wedge"]
+    hexes = [c.data for c in m.cells if c.type == "hexahedron"]
+    ien_prism = np.concatenate(prisms).astype(INDEX_DTYPE) if prisms else None
+    ien_hex = np.concatenate(hexes).astype(INDEX_DTYPE) if hexes else None
 
     # boundary triangles grouped by physical tag
     tris = [c.data for c in m.cells if c.type == "triangle"]
@@ -73,7 +79,10 @@ def from_meshio(path: str) -> Mesh:
                     forn=forn,
                 )
             )
-    return Mesh(xg=xg, ien=ien, boundaries=boundaries)
+    return Mesh(
+        xg=xg, ien=ien, boundaries=boundaries,
+        ien_prism=ien_prism, ien_hex=ien_hex,
+    )
 
 
 def main(argv=None) -> int:
