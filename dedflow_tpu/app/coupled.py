@@ -61,7 +61,11 @@ class CoupledSolver:
             from dedflow_tpu.parallel.sharded import ShardedNSSolver
 
             self.fluid = ShardedNSSolver(mesh, cfg, device_mesh, dtype=dtype)
-            self._coupling_ctx = self.fluid.ctx  # partitioned + sharded
+            # the coupling needs the unstructured FEMContext (xg/ien/
+            # inv_j) - the sharded solver's solve context may be the
+            # LatticeContext on lattice meshes; NSSolver always builds the
+            # FEMContext and its node order matches the sharded state's
+            self._coupling_ctx = self.fluid.solver.ctx
             cmesh = self.fluid.pmesh
         else:
             self.fluid = NSSolver(mesh, cfg, dtype=dtype)

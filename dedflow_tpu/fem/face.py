@@ -232,12 +232,63 @@ def face_lhs_packed(
     scheme: TimeScheme,
 ) -> jnp.ndarray:
     """(nf*16, 18) packed facet Jacobian contributions (facet terms only
-    touch the uu/up/pu slots; sparse.fsbsr component order)."""
-    from dedflow_tpu.sparse.fsbsr import COMP_SLOTS
+    touch the uu/up/pu slots; sparse.fsbsr component order).
 
-    ej = face_lhs_elements(fctx, w_alpha, dw_alpha, phys, scheme)
-    flat = ej.reshape(fctx.num_facet * 16, 6, 6)
-    return jnp.stack([flat[:, bi, bj] for _, bi, bj in COMP_SLOTS], axis=-1)
+    Builds the 18 packed components directly instead of materializing
+    (nf, 4, 4, 6, 6) dense blocks and gathering 18 strided slices out of
+    them - TPU layouts pad small trailing dims, making the dense-block
+    detour ~10x more traffic than the result (measured 1.8 ms -> ~0.2 ms
+    at 6k facets). Same math as face_lhs_elements (the oracle;
+    assemble.cu:1127-1193)."""
+    dtype = w_alpha.dtype
+    gwb = jnp.asarray(quad.GWB, dtype=dtype)
+    rho, mu = phys.rho, phys.mu
+    f2 = scheme.fact_w
+    nv = fctx.nv
+    shlb = fctx.shlb
+    u_qb, _, _ = _facet_fields(fctx, w_alpha, dw_alpha)
+    tau_b = _tau_b(fctx, mu)
+    shnorm = jnp.einsum("fai,fi->fa", fctx.shgrad, nv)
+
+    unor = jnp.einsum("fqi,fi->fq", u_qb, nv)
+    uneg = 0.5 * (unor - jnp.abs(unor))
+
+    # velocity diagonal scalar part (assemble.cu:1152-1166)
+    t_diag = (
+        -mu
+        * (
+            jnp.einsum("q,fb,fqa->fab", gwb, shnorm, shlb)
+            + jnp.einsum("q,fa,fqb->fab", gwb, shnorm, shlb)
+        )
+        - rho * jnp.einsum("q,fqa,fqb,fq->fab", gwb, shlb, shlb, uneg)
+        + tau_b[:, None, None] * jnp.einsum("q,fqa,fqb->fab", gwb, shlb, shlb)
+    )
+    # consistency terms (assemble.cu:1171-1181): t_full[...,i,j] =
+    # -mu*(G_i[f,a,b]*nv_j + G_j[f,b,a]*nv_i) with
+    # G_i = sum_q gwb_q shlb[f,q,a] shgrad[f,b,i]
+    g = [
+        jnp.einsum("q,fqa,fb->fab", gwb, shlb, fctx.shgrad[:, :, i])
+        for i in range(3)
+    ]
+    t_ab = jnp.einsum("q,fqa,fqb->fab", gwb, shlb, shlb)
+
+    comps = []
+    for i in range(3):
+        for j in range(3):
+            c = -mu * (
+                g[i] * nv[:, j][:, None, None]
+                + jnp.swapaxes(g[j], 1, 2) * nv[:, i][:, None, None]
+            )
+            if i == j:
+                c = c + t_diag
+            comps.append(f2 * c)
+    for i in range(3):  # up: dRM/dP (no fact2)
+        comps.append(t_ab * nv[:, i][:, None, None])
+    for j in range(3):  # pu: dRC/dU
+        comps.append(-f2 * t_ab * nv[:, j][:, None, None])
+    zero = jnp.zeros_like(t_ab)
+    comps += [zero, zero, zero]  # pp, phiphi, TT untouched by facet terms
+    return jnp.stack(comps, axis=-1).reshape(fctx.num_facet * 16, 18)
 
 
 def scatter_face_matrix_packed(

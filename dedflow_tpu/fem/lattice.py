@@ -57,15 +57,24 @@ from dedflow_tpu.sparse.fsbsr import (
 )
 
 
+# fused-kernel element-block sizes (lanes per grid step); LHS is smaller
+# because its (288, E + dmax) VMEM intermediate is 12x the residual's
+_EF_RES = 8192
+_EF_LHS = 2048
+
+
 @jax.tree_util.register_dataclass
 @dataclass
 class LatticeContext:
     """Precomputed per-slab geometry rows + static shift tables."""
 
-    # concatenated per-slab geometry rows; slab t = columns
-    # [t*npad, (t+1)*npad), column j of a slab = cell j - dmax.
-    lhs_geom: jnp.ndarray  # (15, 6*npad) pallas_kernels.lhs_geom_rows
-    res_geom: jnp.ndarray  # (19, 6*npad) pallas_kernels.res_geom_rows
+    # slab-major geometry rows: [t, r, j] with column j = cell j - dmax;
+    # the slab axis LEADS so a sharded lane axis never needs cross-slab
+    # concatenation (GSPMD would all-gather it; tests/test_sharding.py).
+    # Row counts pad to 8-sublane multiples (Mosaic DMA tiling); width
+    # npad + dmax gives every fused-kernel window a dead tail.
+    lhs_geom: jnp.ndarray  # (6, 16, npad + dmax) pallas_kernels.lhs_geom_rows
+    res_geom: jnp.ndarray  # (6, 24, npad + dmax) pallas_kernels.res_geom_rows
     num_node: int = field(metadata=dict(static=True))
     npad: int = field(metadata=dict(static=True))  # dmax + num_node
     dmax: int = field(metadata=dict(static=True))  # 1 + Sy + Sz
@@ -112,7 +121,10 @@ def build_lattice_context(
     sy, sz, deltas, offs, plane_tab = _lattice_tables(nx, ny, nz)
     n = mesh.num_node
     assert n == (nx + 1) * (ny + 1) * (nz + 1)
-    dmax = 1 + sy + sz
+    # front-pad depth: covers the largest vertex offset 1 + Sy + Sz,
+    # rounded to the 128-lane tile so fused-kernel DMA windows (which
+    # start at block-aligned lane offsets) stay tile-aligned
+    dmax = -(-(1 + sy + sz) // 128) * 128
 
     # live-cell mask over the padded cell lattice
     cells = np.arange(n, dtype=np.int64)
@@ -121,11 +133,19 @@ def build_lattice_context(
     iz = cells // sz
     live = (ix < nx) & (iy < ny) & (iz < nz)
 
-    # Slab width aligned to the Pallas element-block size: the fused
-    # kernels then need no pad/unpad copies of their ~GB-scale operands
-    # (an unaligned 6*npad costs two extra full passes, measured ~4 ms
-    # at 1M tets). Alignment columns are dead (zero geometry).
-    npad = -(-(n + dmax) // pk._E) * pk._E
+    # Slab width, satisfying every consumer with dead (zero-geometry)
+    # alignment columns:
+    # - multiple of the element-block size pk._E (no pad/unpad copies of
+    #   the ~GB-scale unfused operands; measured ~4 ms at 1M tets),
+    # - >= n + dmax (the live cells + front pad fit),
+    # - >= ceil(n/EF)*EF for the fused-kernel block sizes EF, so the last
+    #   block's geometry window bleeds at most dmax columns into the next
+    #   slab - exactly its DEAD front region (zero contributions).
+    npad = max(
+        -(-(n + dmax) // pk._E) * pk._E,
+        -(-n // _EF_RES) * _EF_RES,
+        -(-n // _EF_LHS) * _EF_LHS,
+    )
 
     xg = jnp.asarray(mesh.xg, dtype=dtype)
     lhs_rows, res_rows = [], []
@@ -137,9 +157,14 @@ def build_lattice_context(
         rr = pk.res_geom_rows(geom.shgrad, geom.det_j, geom.metric)
         lhs_rows.append(jnp.pad(lr, ((0, 0), (dmax, npad - n - dmax))))
         res_rows.append(jnp.pad(rr, ((0, 0), (dmax, npad - n - dmax))))
+    # stack slab-major with 8-sublane row padding (15 -> 16, 19 -> 24)
+    # and a dmax dead tail per slab for the fused-kernel windows
+    tail = lambda parts, r8: jnp.stack(
+        [jnp.pad(a, ((0, r8 - a.shape[0]), (0, dmax))) for a in parts]
+    )
     return LatticeContext(
-        lhs_geom=jnp.concatenate(lhs_rows, axis=1),
-        res_geom=jnp.concatenate(res_rows, axis=1),
+        lhs_geom=tail(lhs_rows, 16),
+        res_geom=tail(res_rows, 24),
         num_node=n,
         npad=npad,
         dmax=dmax,
@@ -169,7 +194,7 @@ def _pad_nodal(x_t: jnp.ndarray, lctx: "LatticeContext") -> jnp.ndarray:
 
 
 def _residual_inputs(lctx, wa_t, dwa_t, src_t):
-    """(67, 6*npad) rows for pallas_kernels._res_rows."""
+    """(6, 67, npad) slab-major rows for pallas_kernels._res_rows."""
     npad, dmax = lctx.npad, lctx.dmax
     wpad = _pad_nodal(wa_t, lctx)
     dwpad = _pad_nodal(dwa_t, lctx)
@@ -177,7 +202,7 @@ def _residual_inputs(lctx, wa_t, dwa_t, src_t):
     parts = []
     for t in range(6):
         d = lctx.deltas[t]
-        geom = jax.lax.slice_in_dim(lctx.res_geom, t * npad, (t + 1) * npad, axis=1)
+        geom = lctx.res_geom[t, :19, :npad]
         sh = lambda row, a, p=wpad: _shift_rows(p[row : row + 1], d[a], npad)
         rows = [geom]
         for i in range(3):  # u rows i*4+a
@@ -194,17 +219,17 @@ def _residual_inputs(lctx, wa_t, dwa_t, src_t):
         else:
             rows += [sh(0, a, spad) for a in range(4)]
         parts.append(jnp.concatenate(rows, axis=0))
-    return jnp.concatenate(parts, axis=1)
+    return jnp.stack(parts)
 
 
 def _lhs_inputs(lctx, wa_t):
-    """(27, 6*npad) rows for pallas_kernels._lhs_rows."""
+    """(6, 27, npad) slab-major rows for pallas_kernels._lhs_rows."""
     npad, dmax = lctx.npad, lctx.dmax
     upad = _pad_nodal(wa_t[:3], lctx)
     parts = []
     for t in range(6):
         d = lctx.deltas[t]
-        geom = jax.lax.slice_in_dim(lctx.lhs_geom, t * npad, (t + 1) * npad, axis=1)
+        geom = lctx.lhs_geom[t, :, :npad]
         rows = [geom[:12]]
         for i in range(3):
             rows += [
@@ -212,35 +237,39 @@ def _lhs_inputs(lctx, wa_t):
             ]
         rows.append(geom[12:15])
         parts.append(jnp.concatenate(rows, axis=0))
-    return jnp.concatenate(parts, axis=1)
+    return jnp.stack(parts)
 
 
 def _reduce_residual(lctx, out) -> jnp.ndarray:
-    """(24, 6*npad) element residual rows -> (6, N) nodal residual: 24
+    """(6, 24, npad) element residual rows -> (6, N) nodal residual: 24
     shifted-slice adds (replaces ElemRHSLocal2GlobalKernel + coloring,
     assemble.cu:188-208)."""
-    n, npad, dmax = lctx.num_node, lctx.npad, lctx.dmax
+    n, dmax = lctx.num_node, lctx.dmax
     acc = jnp.zeros((6, n), out.dtype)
     for t in range(6):
         for a in range(4):
-            s = t * npad + dmax - lctx.deltas[t][a]
-            acc = acc + jax.lax.slice(out, (a * 6, s), (a * 6 + 6, s + n))
+            s = dmax - lctx.deltas[t][a]
+            acc = acc + jax.lax.slice(
+                out, (t, a * 6, s), (t + 1, a * 6 + 6, s + n)
+            )[0]
     return acc
 
 
 def _reduce_lhs_planes(lctx, out) -> list:
-    """(288, 6*npad) packed element Jacobians -> D x (18, N) DIA planes:
+    """(6, 288, npad) packed element Jacobians -> D x (18, N) DIA planes:
     96 shifted-slice adds (replaces MatrixAddElemValueBlockedBatched +
     SetBlockValueToSubmatGPU, matrix_impl.cu:88-202, 370-453). Returned
     unstacked so face/mask/diagonal passes fuse per plane."""
-    n, npad, dmax = lctx.num_node, lctx.npad, lctx.dmax
+    n, dmax = lctx.num_node, lctx.dmax
     planes = [None] * len(lctx.offsets)
     for t in range(6):
         for a in range(4):
-            s0 = t * npad + dmax - lctx.deltas[t][a]
+            s0 = dmax - lctx.deltas[t][a]
             for b in range(4):
                 r = (a * 4 + b) * 18
-                blk = jax.lax.slice(out, (r, s0), (r + 18, s0 + n))
+                blk = jax.lax.slice(
+                    out, (t, r, s0), (t + 1, r + 18, s0 + n)
+                )[0]
                 p = lctx.plane_tab[t][a][b]
                 planes[p] = blk if planes[p] is None else planes[p] + blk
     zero = jnp.zeros((18, n), out.dtype)
@@ -275,11 +304,20 @@ def assemble_residual_t(
     source: jnp.ndarray | None = None,  # (N,)
     nodal_force: jnp.ndarray | None = None,  # (N, 3)
 ) -> jnp.ndarray:
-    """Global residual F as (6, N) (AssembleSystem, main.c:31-75)."""
+    """Global residual F as (6, N) (AssembleSystem, main.c:31-75).
+
+    rows_backend "pallas" runs the fully-fused TPU kernel (one haloed
+    window pass, no HBM intermediates, residual_fused); "xla" runs the
+    dtype-generic unfused pipeline (CPU / f64 / sharded)."""
     src_t = None if source is None else source[None, :]
-    inp = _residual_inputs(lctx, w_alpha.T, dw_alpha.T, src_t)
-    out = pk.res_rows_call(inp, phys, scheme, backend=lctx.rows_backend)
-    f = _reduce_residual(lctx, out.astype(w_alpha.dtype))
+    if lctx.rows_backend == "pallas":
+        f = residual_fused(
+            lctx, w_alpha.T, dw_alpha.T, src_t, phys, scheme
+        ).astype(w_alpha.dtype)
+    else:
+        inp = _residual_inputs(lctx, w_alpha.T, dw_alpha.T, src_t)
+        out = pk.res_rows_call(inp, phys, scheme, backend=lctx.rows_backend)
+        f = _reduce_residual(lctx, out.astype(w_alpha.dtype))
     if nodal_force is not None:
         f = f.at[:3, :].add(-nodal_force.T)
     for fctx in face_ctxs:
@@ -303,6 +341,11 @@ def assemble_jacobian_t(
     (frozen-scalar mode, like the reference's LHS kernel)."""
     dtype = w_alpha.dtype
     num_planes = len(lctx.offsets)
+    # NOTE the Jacobian stays on the unfused pipeline even on TPU: the
+    # fused window kernel (jacobian_fused) pays a 2.6x halo-recompute of
+    # the compute-bound element body at its VMEM-limited block size and
+    # measures ~10% SLOWER than streaming the (6, 288, npad) intermediate
+    # through HBM. The residual's larger blocks make fusion a win there.
     inp = _lhs_inputs(lctx, w_alpha.T)
     out = pk.lhs_rows_call(inp, phys, scheme, backend=lctx.rows_backend)
     planes = _reduce_lhs_planes(lctx, out.astype(dtype))
@@ -322,11 +365,16 @@ def assemble_jacobian_t(
     keep_pc = keep_pc_rows(mask_t, dtype)
     add18 = diag_add_rows(mask_t, dtype)
     d0 = lctx.offsets.index(0)
+    n = lctx.num_node
     final = []
     for k in range(num_planes):
         p = planes[k]
         for blk, lo, span in face_blks:
-            p = p.at[:, lo : lo + span].add(blk[k])
+            # pad the REPLICATED facet block to full width and add, rather
+            # than `.at[lo:lo+span].add` - the scatter-add lowering makes
+            # GSPMD all-gather the sharded plane on multi-chip runs, while
+            # pad+add stays shard-local (tests/test_sharding.py HLO check)
+            p = p + jnp.pad(blk[k], ((0, 0), (lo, n - lo - span)))
         p = p * keep_pc
         if k == d0:
             p = p + add18
@@ -335,3 +383,237 @@ def assemble_jacobian_t(
     return FSDIAMatrixT(
         data=jnp.stack(final), offsets=lctx.offsets, backend=backend
     )
+
+
+# ---------------------------------------------------------------------------
+# Fully-fused assembly kernels (TPU): state + geometry windows are DMA'd
+# into VMEM, the element weak form AND the node/DIA-plane reduction run
+# in one pass, and the (24|288, 6*npad) element-update intermediates
+# never touch HBM. Traffic drops from ~3.5 GB (J) / ~3.5 GB (F) to the
+# geometry read + the result write. The unfused path remains the oracle
+# (exact equality on TPU: same f32 ops in the same order per element).
+
+from functools import partial as _partial
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _res_fused_kernel(
+    state_hbm, geom_hbm, out_ref, win, gbuf, inp_buf, sem_s, sem_g,
+    *, args, e, dmax, npad, deltas,
+):
+    k = pl.program_id(0)
+    gw = e + dmax
+    pltpu.make_async_copy(
+        state_hbm.at[:, pl.ds(k * e, e + 2 * dmax)], win, sem_s
+    ).start()
+    pltpu.make_async_copy(
+        geom_hbm.at[0, :, pl.ds(k * e, gw)], gbuf.at[0], sem_g.at[0]
+    ).start()
+    pltpu.make_async_copy(
+        state_hbm.at[:, pl.ds(k * e, e + 2 * dmax)], win, sem_s
+    ).wait()
+    acc = jnp.zeros((6, e), jnp.float32)
+    for t in range(6):
+        pltpu.make_async_copy(
+            geom_hbm.at[t, :, pl.ds(k * e, gw)],
+            gbuf.at[t % 2],
+            sem_g.at[t % 2],
+        ).wait()
+        if t < 5:
+            pltpu.make_async_copy(
+                geom_hbm.at[t + 1, :, pl.ds(k * e, gw)],
+                gbuf.at[(t + 1) % 2],
+                sem_g.at[(t + 1) % 2],
+            ).start()
+        d = deltas[t]
+        # assemble the (67, GW) kernel input in a scratch ref: row stores
+        # re-layout the lane-shifted window slices (Mosaic cannot
+        # concatenate values at mixed lane offsets)
+        inp_buf[0:19, :] = gbuf[t % 2][:19]
+        for r in range(12):  # u(3)+du(3), p, phi, T, dphi, dT, src per a
+            for a in range(4):
+                inp_buf[19 + r * 4 + a, :] = win[r, d[a] : d[a] + gw]
+        res = pk._res_rows(inp_buf[:, :], **args)  # (24, GW)
+        for a in range(4):
+            s = dmax - d[a]
+            acc = acc + res[a * 6 : (a + 1) * 6, s : s + e]
+    out_ref[:6, :] = acc
+    out_ref[6:, :] = jnp.zeros((2, e), jnp.float32)
+
+
+def _lhs_fused_kernel(
+    state_hbm, geom_hbm, out_ref, win, gbuf, inp_buf, sem_s, sem_g,
+    *, args, e, dmax, npad, deltas, plane_tab, num_planes,
+):
+    k = pl.program_id(0)
+    gw = e + dmax
+    pltpu.make_async_copy(
+        state_hbm.at[:, pl.ds(k * e, e + 2 * dmax)], win, sem_s
+    ).start()
+    pltpu.make_async_copy(
+        geom_hbm.at[0, :, pl.ds(k * e, gw)], gbuf.at[0], sem_g.at[0]
+    ).start()
+    pltpu.make_async_copy(
+        state_hbm.at[:, pl.ds(k * e, e + 2 * dmax)], win, sem_s
+    ).wait()
+    nrow = num_planes * 18
+    written = [False] * num_planes
+    for t in range(6):
+        pltpu.make_async_copy(
+            geom_hbm.at[t, :, pl.ds(k * e, gw)],
+            gbuf.at[t % 2],
+            sem_g.at[t % 2],
+        ).wait()
+        if t < 5:
+            pltpu.make_async_copy(
+                geom_hbm.at[t + 1, :, pl.ds(k * e, gw)],
+                gbuf.at[(t + 1) % 2],
+                sem_g.at[(t + 1) % 2],
+            ).start()
+        d = deltas[t]
+        inp_buf[0:12, :] = gbuf[t % 2][:12]
+        for i in range(3):
+            for a in range(4):
+                inp_buf[12 + i * 4 + a, :] = win[i, d[a] : d[a] + gw]
+        inp_buf[24:27, :] = gbuf[t % 2][12:15]
+        upd = pk._lhs_rows(inp_buf[:, :], **args)  # (288, GW)
+        # per-slab plane partials accumulated via out_ref stores (ref
+        # stores re-layout the lane-shifted slices; Mosaic cannot
+        # concatenate values at mixed lane offsets, and value-chains
+        # across slabs would pin all six (288, GW) upd buffers in VMEM)
+        tplanes = [None] * num_planes
+        for a in range(4):
+            s = dmax - d[a]
+            for b in range(4):
+                p = plane_tab[t][a][b]
+                r = (a * 4 + b) * 18
+                blk = upd[r : r + 18, s : s + e]
+                tplanes[p] = blk if tplanes[p] is None else tplanes[p] + blk
+        for p in range(num_planes):
+            if tplanes[p] is None:
+                continue
+            sl = slice(p * 18, (p + 1) * 18)
+            if written[p]:
+                out_ref[sl, :] = out_ref[sl, :] + tplanes[p]
+            else:
+                out_ref[sl, :] = tplanes[p]
+                written[p] = True
+    zero18 = jnp.zeros((18, e), jnp.float32)
+    for p in range(num_planes):
+        if not written[p]:
+            out_ref[p * 18 : (p + 1) * 18, :] = zero18
+    if out_ref.shape[0] > nrow:
+        out_ref[nrow:, :] = jnp.zeros(
+            (out_ref.shape[0] - nrow, e), jnp.float32
+        )
+
+
+def _fused_state_rows(lctx, rows_list, nb, e):
+    """Stack nodal rows (k, N) into the (R8, nb*E + 2*dmax) front-padded
+    f32 window array the fused kernels DMA from (R8 = rows padded to a
+    multiple of 8 sublanes)."""
+    dmax, n = lctx.dmax, lctx.num_node
+    rows = jnp.concatenate([r.astype(jnp.float32) for r in rows_list], axis=0)
+    r8 = -(-rows.shape[0] // 8) * 8
+    slen = nb * e + 2 * dmax
+    return jnp.pad(
+        rows, ((0, r8 - rows.shape[0]), (dmax, slen - dmax - n))
+    )
+
+
+def residual_fused(
+    lctx: LatticeContext,
+    wa_t: jnp.ndarray,  # (6, N)
+    dwa_t: jnp.ndarray,  # (6, N)
+    src_t: jnp.ndarray | None,  # (1, N) or None
+    phys: Physics,
+    scheme: TimeScheme,
+) -> jnp.ndarray:
+    """(6, N) volume residual via the fused kernel (TPU, f32)."""
+    e, dmax, npad, n = _EF_RES, lctx.dmax, lctx.npad, lctx.num_node
+    nb = -(-n // e)
+    zero = jnp.zeros((1, n), jnp.float32)
+    state = _fused_state_rows(
+        lctx,
+        [wa_t[:3], dwa_t[:3], dwa_t[3:4], wa_t[4:5], wa_t[5:6],
+         dwa_t[4:5], dwa_t[5:6], zero if src_t is None else src_t],
+        nb, e,
+    )
+    args = dict(
+        rho=float(phys.rho), mu=float(phys.mu), cp=float(phys.cp),
+        kappa=float(phys.kappa),
+        fb=tuple(float(v) for v in phys.body_force), dt=float(scheme.dt),
+    )
+    kern = _partial(
+        _res_fused_kernel, args=args, e=e, dmax=dmax, npad=npad,
+        deltas=lctx.deltas,
+    )
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((8, nb * e), jnp.float32),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((8, e), lambda k: (0, k)),
+        scratch_shapes=[
+            pltpu.VMEM((16, e + 2 * dmax), jnp.float32),
+            pltpu.VMEM((2, 24, e + dmax), jnp.float32),
+            pltpu.VMEM((67, e + dmax), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024
+        ),
+    )(state, lctx.res_geom.astype(jnp.float32))
+    return out[:6, :n]
+
+
+def jacobian_fused(
+    lctx: LatticeContext,
+    wa_t: jnp.ndarray,  # (6, N)
+    phys: Physics,
+    scheme: TimeScheme,
+) -> jnp.ndarray:
+    """(D, 18, N) raw volume DIA data via the fused kernel (TPU, f32)."""
+    e, dmax, npad, n = _EF_LHS, lctx.dmax, lctx.npad, lctx.num_node
+    nb = -(-n // e)
+    num_planes = len(lctx.offsets)
+    state = _fused_state_rows(lctx, [wa_t[:3]], nb, e)
+    args = dict(
+        rho=float(phys.rho), mu=float(phys.mu),
+        f1=float(scheme.fact_dw), f2=float(scheme.fact_w),
+        dt=float(scheme.dt),
+    )
+    kern = _partial(
+        _lhs_fused_kernel, args=args, e=e, dmax=dmax, npad=npad,
+        deltas=lctx.deltas, plane_tab=lctx.plane_tab,
+        num_planes=num_planes,
+    )
+    nrow = num_planes * 18
+    r8 = -(-nrow // 8) * 8
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((r8, nb * e), jnp.float32),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((r8, e), lambda k: (0, k)),
+        scratch_shapes=[
+            pltpu.VMEM((8, e + 2 * dmax), jnp.float32),
+            pltpu.VMEM((2, 16, e + dmax), jnp.float32),
+            pltpu.VMEM((27, e + dmax), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+    )(state, lctx.lhs_geom.astype(jnp.float32))
+    return out[:nrow, :n].reshape(num_planes, 18, n)

@@ -455,6 +455,36 @@ def ns_lhs_packed_pallas(
 
 
 def _pallas_rows_call(kern, inp, out_rows: int, interpret: bool = False):
+    """inp (R, M) or slab-major (S, R, M) -> (out_rows, M) / (S, out_rows, M).
+    The 3-D form keeps each slab's lane axis independent, so sharded lane
+    layouts never require cross-slab gathers (fem.lattice)."""
+    if inp.ndim == 3:
+        s, r, m = inp.shape
+        m_pad = (m + _E - 1) // _E * _E
+        r8 = -(-r // 8) * 8  # Mosaic: slicing .at[t] needs 8-aligned rows
+        if m_pad != m or r8 != r:
+            inp = jnp.pad(inp, ((0, 0), (0, r8 - r), (0, m_pad - m)))
+
+        def kern3(i_ref, o_ref):
+            kern(i_ref.at[0], o_ref.at[0])
+
+        out = pl.pallas_call(
+            kern3,
+            out_shape=jax.ShapeDtypeStruct((s, out_rows, m_pad), jnp.float32),
+            grid=(s, m_pad // _E),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, r8, _E), lambda t, k: (t, 0, k), memory_space=pltpu.VMEM
+                )
+            ],
+            out_specs=pl.BlockSpec(
+                (1, out_rows, _E),
+                lambda t, k: (t, 0, k),
+                memory_space=pltpu.VMEM,
+            ),
+            interpret=interpret,
+        )(inp)
+        return out[:, :, :m]
     m = inp.shape[1]
     m_pad = (m + _E - 1) // _E * _E
     if m_pad != m:
@@ -477,7 +507,7 @@ def _pallas_rows_call(kern, inp, out_rows: int, interpret: bool = False):
 
 
 def lhs_rows_call(
-    inp: jnp.ndarray,  # (27, M)
+    inp: jnp.ndarray,  # (27, M) or (S, 27, M)
     phys: Physics,
     scheme: TimeScheme,
     backend: str = "pallas",
@@ -492,14 +522,15 @@ def lhs_rows_call(
         dt=float(scheme.dt),
     )
     if backend == "xla":
-        return _lhs_rows(inp, **args)
+        body = functools.partial(_lhs_rows, **args)
+        return jax.vmap(body)(inp) if inp.ndim == 3 else body(inp)
     _check_f32_contract(inp.dtype)
     kern = functools.partial(_lhs_kernel, **args)
     return _pallas_rows_call(kern, inp.astype(jnp.float32), 288, interpret)
 
 
 def res_rows_call(
-    inp: jnp.ndarray,  # (67, M)
+    inp: jnp.ndarray,  # (67, M) or (S, 67, M)
     phys: Physics,
     scheme: TimeScheme,
     backend: str = "pallas",
@@ -515,7 +546,8 @@ def res_rows_call(
         dt=float(scheme.dt),
     )
     if backend == "xla":
-        return _res_rows(inp, **args)
+        body = functools.partial(_res_rows, **args)
+        return jax.vmap(body)(inp) if inp.ndim == 3 else body(inp)
     _check_f32_contract(inp.dtype)
     kern = functools.partial(_res_kernel, **args)
     return _pallas_rows_call(kern, inp.astype(jnp.float32), 24, interpret)

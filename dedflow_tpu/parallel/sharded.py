@@ -32,6 +32,8 @@ from jax.sharding import NamedSharding, PartitionSpec
 
 from dedflow_tpu.config import SolverConfig
 from dedflow_tpu.mesh.mesh import Mesh
+import dataclasses
+
 from dedflow_tpu.parallel.partition import (
     PartitionInfo,
     partition_mesh,
@@ -102,13 +104,65 @@ class ShardedNSSolver:
         self.device_mesh = device_mesh
         self.axis = axis
         num_parts = int(np.prod(device_mesh.devices.shape))
-        self.pmesh, self.info = partition_mesh(mesh, num_parts)
-        self.solver = NSSolver(self.pmesh, cfg, dtype=dtype)
         self.cfg = cfg
-        self.dtype = self.solver.dtype
 
         self.sharding = NamedSharding(device_mesh, PartitionSpec(axis))
         self.replicated = NamedSharding(device_mesh, PartitionSpec())
+
+        # Lattice meshes: the natural node ordering IS a slab domain
+        # decomposition (contiguous index ranges = z-slabs), so no RCB
+        # reorder and no padding are needed, and the gather-free lattice
+        # fast path shards directly: every static shifted slice becomes a
+        # GSPMD collective-permute of a boundary band (verified by HLO in
+        # tests/test_sharding.py - no full-vector all-gather of the
+        # state). The Pallas element kernels are single-device programs,
+        # so the sharded context pins the XLA rows backend.
+        self.lattice = (
+            mesh.lattice is not None
+            and getattr(cfg, "use_lattice", "auto") != "off"
+            and cfg.assembly_chunk is None
+            and not cfg.implicit_scalars
+            # explicit device_put needs even shards: node count and the
+            # slab-concatenated lane axis must divide by the device count
+            # (falls back to the RCB/GSPMD general path otherwise)
+            and mesh.num_node % num_parts == 0
+        )
+        if self.lattice:
+            self.pmesh, self.info = mesh, None
+            self.solver = NSSolver(mesh, cfg, dtype=dtype)
+            self.lattice = (
+                self.solver.lctx is not None  # offset-set guard
+                and (6 * self.solver.lctx.npad) % num_parts == 0
+            )
+        if self.lattice:
+            self.dtype = self.solver.dtype
+            lane = NamedSharding(device_mesh, PartitionSpec(None, axis))
+            lctx = dataclasses.replace(
+                self.solver.lctx, rows_backend="xla"
+            )
+            self.ctx = dataclasses.replace(
+                lctx,
+                lhs_geom=jax.device_put(lctx.lhs_geom, lane),
+                res_geom=jax.device_put(lctx.res_geom, lane),
+            )
+            self.mask = jax.device_put(self.solver.mask, self.sharding)
+            self.face_ctxs = jax.tree_util.tree_map(
+                lambda leaf: jax.device_put(leaf, self.replicated)
+                if hasattr(leaf, "ndim")
+                else leaf,
+                self.solver.face_ctxs,
+            )
+            s = self.solver
+            self._residual = s._residual
+            self._newton_iter = s._newton_iter
+            self._predict = s._predict
+            self._update = s._update
+            self._step_fixed = s._step_fixed
+            return
+
+        self.pmesh, self.info = partition_mesh(mesh, num_parts)
+        self.solver = NSSolver(self.pmesh, cfg, dtype=dtype)
+        self.dtype = self.solver.dtype
         # Subdomain layout for every mesh-sized device array: the element,
         # node and nnz axes are all partition-contiguous by construction.
         # The nnz axis is NOT an exact multiple of the device count; it is
@@ -138,16 +192,19 @@ class ShardedNSSolver:
     # ------------------------------------------------------------------
     def shard_state(self, state: np.ndarray) -> jnp.ndarray:
         """(N, ...) nodal array in original order -> sharded device array
-        in padded subdomain order."""
-        reordered = permute_state(self.info, np.asarray(state))
+        (padded subdomain order on RCB meshes; the natural order IS the
+        slab decomposition on lattice meshes)."""
+        if self.info is not None:
+            state = permute_state(self.info, np.asarray(state))
         return jax.device_put(
-            jnp.asarray(reordered, dtype=self.dtype), self.sharding
+            jnp.asarray(state, dtype=self.dtype), self.sharding
         )
 
     def gather_state(self, state: jnp.ndarray) -> np.ndarray:
-        """Sharded padded subdomain-ordered state -> host array in the
-        original ordering (padding rows dropped)."""
-        return unpermute_state(self.info, np.asarray(state))
+        """Sharded state -> host array in the original ordering."""
+        if self.info is not None:
+            return unpermute_state(self.info, np.asarray(state))
+        return np.asarray(state)
 
     # ------------------------------------------------------------------
     def residual(self, wgold, dwgold, dwg, source=None, nodal_force=None):

@@ -9,10 +9,19 @@ so the collective schedule can be controlled and profiled directly.
 
 The mesh axes follow parallel.partition: nodes/rows are RCB-reordered
 into equal contiguous subdomain blocks, so shard d owns rows
-[d*N/P, (d+1)*N/P). With spatial ordering the halo a shard actually
-reads is a thin neighbor band; this v1 exchanges the full vector
-(all_gather over ICI) - replacing it with ppermute'd boundary bands is
-the planned refinement and changes only `_spmv_kernel`.
+[d*N/P, (d+1)*N/P).
+
+Two SpMV variants:
+- `dia_matvec_ppermute`: the banded (lattice / natural-ordered) matrix in
+  component-major DIA storage. The column stencil is bounded by dmax =
+  max|offset|, so the halo is EXACTLY the two dmax-wide boundary bands of
+  the ring neighbors: two `ppermute`s of (6, dmax) each (~78 KB at 1M
+  nodes) instead of gathering the (6, N) vector. This is the textbook
+  halo exchange, TPU-native (ICI neighbor hops), and the HLO provably
+  contains no all-gather (tests/test_sharding.py).
+- `fsbsr_matvec_shardmap`: the general unstructured ELL matrix; columns
+  can reference any part, so this path all_gathers x (the conservative
+  fallback; RCB keeps the working set local but not provably banded).
 """
 
 from __future__ import annotations
@@ -92,4 +101,74 @@ def norm_shardmap(device_mesh: DeviceMesh, axis: str):
 
     return jax.shard_map(
         kernel, mesh=device_mesh, in_specs=(P(axis),), out_specs=P()
+    )
+
+
+def dia_matvec_ppermute(device_mesh: DeviceMesh, axis: str, offsets: tuple):
+    """Returns matvec(data_t, x_t) for the component-major DIA matrix
+    (sparse.fsbsr.FSDIAMatrixT layout) with data (D, 18, N) and x (6, N)
+    both sharded on the node axis over `axis`, using ppermute boundary
+    bands as the ONLY communication.
+
+    Requires the banded structure of contiguous-ordered meshes:
+    max|offset| <= local rows per shard. Ring wrap contributions are
+    masked to zero (the matrix has no wrap-around couplings)."""
+    from dedflow_tpu.sparse.fsbsr import PHIPHI, PP, PU, TT, UP, UU
+
+    nparts = int(device_mesh.devices.size)
+    dmax = max(max(abs(o) for o in offsets), 1)
+
+    def kernel(data_l, x_l):
+        # data_l (D, 18, L), x_l (6, L) local rows
+        l = x_l.shape[1]
+        idx = jax.lax.axis_index(axis)
+        # halo from the LEFT neighbor (its last dmax rows) ...
+        from_left = jax.lax.ppermute(
+            x_l[:, l - dmax :], axis,
+            [(i, (i + 1) % nparts) for i in range(nparts)],
+        )
+        # ... and from the RIGHT neighbor (its first dmax rows)
+        from_right = jax.lax.ppermute(
+            x_l[:, :dmax], axis,
+            [(i, (i - 1) % nparts) for i in range(nparts)],
+        )
+        zero = jnp.zeros_like(from_left)
+        from_left = jnp.where(idx == 0, zero, from_left)
+        from_right = jnp.where(idx == nparts - 1, zero, from_right)
+        xpad = jnp.concatenate([from_left, x_l, from_right], axis=1)
+        d = data_l
+        xs = jnp.stack(
+            [
+                jax.lax.slice_in_dim(xpad, dmax + o, dmax + o + l, axis=1)
+                for o in offsets
+            ]
+        )  # (D, 6, L)
+        y = [
+            jnp.sum(
+                d[:, UU(i, 0)] * xs[:, 0]
+                + d[:, UU(i, 1)] * xs[:, 1]
+                + d[:, UU(i, 2)] * xs[:, 2]
+                + d[:, UP(i)] * xs[:, 3],
+                axis=0,
+            )
+            for i in range(3)
+        ]
+        y.append(
+            jnp.sum(
+                d[:, PU(0)] * xs[:, 0]
+                + d[:, PU(1)] * xs[:, 1]
+                + d[:, PU(2)] * xs[:, 2]
+                + d[:, PP] * xs[:, 3],
+                axis=0,
+            )
+        )
+        y.append(jnp.sum(d[:, PHIPHI] * xs[:, 4], axis=0))
+        y.append(jnp.sum(d[:, TT] * xs[:, 5], axis=0))
+        return jnp.stack(y)
+
+    return jax.shard_map(
+        kernel,
+        mesh=device_mesh,
+        in_specs=(P(None, None, axis), P(None, axis)),
+        out_specs=P(None, axis),
     )

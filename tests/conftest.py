@@ -22,3 +22,12 @@ import jax  # noqa: E402
 # jax_platforms="axon,cpu"; override after import, before backend init.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: the suite's cost is dominated by XLA CPU
+# compiles of the large unrolled solver graphs; repeat runs (local
+# iteration, CI re-runs) hit the cache and skip them.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("DEDFLOW_TEST_CACHE", "/tmp/dedflow_jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

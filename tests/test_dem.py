@@ -91,6 +91,7 @@ def test_wall_bounce_stays_inside():
     assert float(out.v[0, 2]) > 0  # bounced upward
 
 
+@pytest.mark.slow
 def test_settling_comes_to_rest():
     # sized for suite latency: 24 particles, dt=1e-4 (well under the
     # contact stability limit 2*sqrt(m/k_n) ~ 9e-3), 1.2 s simulated
@@ -171,6 +172,7 @@ def test_drag_exchange_conserves_momentum(fem_ctx):
     )
 
 
+@pytest.mark.slow
 def test_coupled_fem_dem_step():
     """Two-way coupled step (BASELINE config #5, small): particles are
     dragged along by the channel flow, the fluid sees the reaction, and
@@ -218,6 +220,7 @@ def test_coupled_fem_dem_step():
         assert abs(dx[:, 1].mean()) < dx[:, 0].mean(), use_grid
 
 
+@pytest.mark.slow
 def test_grid_dem_matches_candidate_path():
     """Dense grid-resident contacts == the candidate-list oracle."""
     from dedflow_tpu.dem import grid as gdem

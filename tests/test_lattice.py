@@ -142,16 +142,16 @@ def test_dead_cell_padding_is_exact_zero():
     lctx = build_lattice_context(mesh, rows_backend="xla")
     n = mesh.num_node
     # geometry rows of dead cells (ix==nx etc.) are exactly zero
-    lg = np.asarray(lctx.lhs_geom)
+    lg = np.asarray(lctx.lhs_geom)  # (6, 16, npad + dmax) slab-major
     cells = np.arange(n)
     sy, sz = 3, 9
     live = (cells % sy < 2) & ((cells // sy) % 3 < 2) & (cells // sz < 2)
     for t in range(6):
-        slab = lg[:, t * lctx.npad : t * lctx.npad + lctx.dmax + n]
-        dead_cols = slab[:, lctx.dmax :][:, ~live]
-        assert np.all(dead_cols == 0.0)
+        slab = lg[t, :, lctx.dmax : lctx.dmax + n]
+        assert np.all(slab[:, ~live] == 0.0)
 
 
+@pytest.mark.slow
 def test_simple_pc_cuts_iterations(solvers):
     """SIMPLE pressure-Schur PC: >=2x fewer GMRES iterations than the
     reference's block-Jacobi decomposition at the same converged Newton
@@ -182,3 +182,19 @@ def test_simple_pc_cuts_iterations(solvers):
     np.testing.assert_allclose(
         norms["simple"], norms["fieldsplit"], rtol=1e-2, atol=1e-12
     )
+
+
+def test_face_lhs_packed_matches_elements(solvers):
+    """The direct packed facet-Jacobian build == the dense-block oracle
+    (face_lhs_elements, assemble.cu:1127-1193)."""
+    from dedflow_tpu.fem.face import face_lhs_elements, face_lhs_packed
+    from dedflow_tpu.sparse.fsbsr import COMP_SLOTS
+
+    mesh, cfg, gen, lat, state = solvers
+    wa, dwa = _alpha(cfg, state)
+    for fctx in gen.face_ctxs:
+        packed = face_lhs_packed(fctx, wa, dwa, cfg.physics, cfg.time)
+        ej = face_lhs_elements(fctx, wa, dwa, cfg.physics, cfg.time)
+        flat = np.asarray(ej).reshape(fctx.num_facet * 16, 6, 6)
+        expect = np.stack([flat[:, bi, bj] for _, bi, bj in COMP_SLOTS], -1)
+        np.testing.assert_allclose(np.asarray(packed), expect, atol=1e-13)

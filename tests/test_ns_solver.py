@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from dedflow_tpu.app.scenarios import (
     reference_initial_state,
@@ -54,6 +55,7 @@ def test_strong_bcs_hold_after_step():
     assert np.allclose(wg2[nz_nodes, 2], 0.0, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_step_fixed_matches_adaptive_when_not_converging_early():
     mesh, solver, wg, dwgold, dwg = _setup(2, 2, 2)
     w_a, dw_a, dwg_a, stats = solver.step(wg, dwgold, dwg)
@@ -142,6 +144,7 @@ def test_lid_driven_cavity_develops_flow():
     assert np.abs(w[:, :3]).max() <= 1.5
 
 
+@pytest.mark.slow
 def test_lagged_jacobian_converges_to_same_solution():
     """Modified Newton (lag_jacobian): same converged step result within
     the Newton tolerance; the lagged path may take more iterations."""
