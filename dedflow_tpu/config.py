@@ -164,6 +164,10 @@ class SolverConfig:
     # run is whole-mesh frozen-scalar; "on"/"off" force it. Measured ~10x
     # assembly+SpMV speedup on TPU (static shifted slices vs gathers).
     use_lattice: str = "auto"
+    # Lattice element-kernel backend override: None = auto (fused Pallas
+    # on TPU, XLA elsewhere); "xla" forces the dtype-generic XLA pipeline
+    # (debugging / conservative compile environments).
+    lattice_backend: str | None = None
 
 
 def reference_bcs() -> tuple[BCSpec, ...]:

@@ -58,9 +58,10 @@ from dedflow_tpu.sparse.fsbsr import (
 
 
 # fused-kernel element-block sizes (lanes per grid step); LHS is smaller
-# because its (288, E + dmax) VMEM intermediate is 12x the residual's
+# because its per-vertex (72, E + dmax) VMEM intermediate still trails a
+# (272, E) output accumulator
 _EF_RES = 8192
-_EF_LHS = 2048
+_EF_LHS = 4096
 
 
 @jax.tree_util.register_dataclass
@@ -478,28 +479,23 @@ def _lhs_fused_kernel(
             for a in range(4):
                 inp_buf[12 + i * 4 + a, :] = win[i, d[a] : d[a] + gw]
         inp_buf[24:27, :] = gbuf[t % 2][12:15]
-        upd = pk._lhs_rows(inp_buf[:, :], **args)  # (288, GW)
-        # per-slab plane partials accumulated via out_ref stores (ref
-        # stores re-layout the lane-shifted slices; Mosaic cannot
-        # concatenate values at mixed lane offsets, and value-chains
-        # across slabs would pin all six (288, GW) upd buffers in VMEM)
-        tplanes = [None] * num_planes
+        # one vertex chunk (72, GW) at a time: 4x less VMEM than the full
+        # (288, GW) update, which buys 2x larger lane blocks and halves
+        # the halo recompute. Accumulation goes through out_ref stores
+        # (ref stores re-layout the lane-shifted slices; Mosaic cannot
+        # concatenate values at mixed lane offsets).
         for a in range(4):
+            upd = pk._lhs_chunk(inp_buf[:, :], a, **args)  # (72, GW)
             s = dmax - d[a]
             for b in range(4):
                 p = plane_tab[t][a][b]
-                r = (a * 4 + b) * 18
-                blk = upd[r : r + 18, s : s + e]
-                tplanes[p] = blk if tplanes[p] is None else tplanes[p] + blk
-        for p in range(num_planes):
-            if tplanes[p] is None:
-                continue
-            sl = slice(p * 18, (p + 1) * 18)
-            if written[p]:
-                out_ref[sl, :] = out_ref[sl, :] + tplanes[p]
-            else:
-                out_ref[sl, :] = tplanes[p]
-                written[p] = True
+                blk = upd[b * 18 : (b + 1) * 18, s : s + e]
+                sl = slice(p * 18, (p + 1) * 18)
+                if written[p]:
+                    out_ref[sl, :] = out_ref[sl, :] + blk
+                else:
+                    out_ref[sl, :] = blk
+                    written[p] = True
     zero18 = jnp.zeros((18, e), jnp.float32)
     for p in range(num_planes):
         if not written[p]:

@@ -551,3 +551,87 @@ def res_rows_call(
     _check_f32_contract(inp.dtype)
     kern = functools.partial(_res_kernel, **args)
     return _pallas_rows_call(kern, inp.astype(jnp.float32), 24, interpret)
+
+
+def _lhs_chunk(inp, a, *, rho, mu, f1, f2, dt):
+    """Per-vertex-a slice of the element Jacobian: (27, E) -> (72, E),
+    rows b*18 + c == rows (a*4+b)*18 + c of _lhs_rows. Identical math on
+    the b-indexed (4, E) sublane tiles; exists so the fused window kernel
+    (fem.lattice._lhs_fused_kernel) can emit one vertex chunk at a time
+    and fit 2x larger lane blocks in VMEM (halving halo recompute)."""
+    f32 = inp.dtype
+    sh = [inp[4 * i : 4 * (i + 1), :] for i in range(3)]  # i -> (4, E)
+    u = [inp[12 + 4 * i : 12 + 4 * (i + 1), :] for i in range(3)]
+    det = inp[24:25, :]  # (1, E)
+    gg = inp[25:26, :]
+    tr = inp[26:27, :]
+
+    knu = mu / rho
+    visc2 = 3.0 * knu * knu
+    tr_safe = jnp.where(tr > 0.0, tr, 1.0)
+
+    mass_a = _node_const([_MASS[a, b] for b in range(4)], f32)  # (4, 1)
+
+    tmp = jnp.broadcast_to(f1 * rho * mass_a, (4, det.shape[1])).astype(f32)
+    gs_conv = jnp.zeros_like(sh[0])  # (4, E)
+    gs_shl = jnp.zeros_like(sh[0])
+    tau0_sum = jnp.zeros_like(det)
+    c_grad2 = jnp.zeros_like(det)
+    for q in range(4):
+        uq = [
+            sum(float(_SHL[q][aa]) * u[i][aa : aa + 1, :] for aa in range(4))
+            for i in range(3)
+        ]
+        shconv = uq[0] * sh[0] + uq[1] * sh[1] + uq[2] * sh[2]  # (4, E)
+        adv2 = jnp.sum(shconv[1:4, :] ** 2, axis=0, keepdims=True)
+        tau0 = jax.lax.rsqrt(4.0 / (dt * dt) + adv2 + visc2 * gg) / rho
+        tau1 = jnp.sqrt(adv2 + visc2 * gg) / tr_safe
+        gwq = float(_GW[q])
+        shl_b = _node_const(_SHL[q], f32)  # (4, 1)
+        conv_a = shconv[a : a + 1, :]  # (1, E): pair rows share vertex a
+        conv_b = shconv  # (4, E)
+        shl_a = float(_SHL[q][a])
+        tmp = tmp + (
+            (f1 * rho * rho * gwq) * tau0 * conv_a * shl_b
+            + (f2 * rho * gwq) * shl_a * conv_b
+            + (f2 * rho * rho * gwq) * tau0 * conv_a * conv_b
+        )
+        gs_conv = gs_conv + gwq * tau0 * shconv
+        gs_shl = gs_shl + gwq * tau0 * shl_b
+        tau0_sum = tau0_sum + gwq * tau0
+        c_grad2 = c_grad2 + (f2 * rho * gwq) * tau1
+
+    sh_a = [sh[i][a : a + 1, :] for i in range(3)]  # (1, E)
+    sh_b = sh  # (4, E)
+    e_k = sh_a[0] * sh_b[0] + sh_a[1] * sh_b[1] + sh_a[2] * sh_b[2]
+    tmp = tmp + (f2 * mu * _GWSUM) * e_k
+    gsconv_a = gs_conv[a : a + 1, :]
+    gsconv_b = gs_conv
+    gsshl_b = gs_shl
+    gwshl_a = float(_GWSHL[a])
+    gwshl_b = _node_const(_GWSHL, f32)
+    eye_a = _node_const(
+        [1.0 if b == a else 0.0 for b in range(4)], f32
+    )
+
+    comps = [None] * 18
+    for i in range(3):
+        for j in range(3):
+            c = (f2 * mu * _GWSUM) * sh_a[j] * sh_b[i] + c_grad2 * sh_a[i] * sh_b[j]
+            if i == j:
+                c = c + tmp
+            comps[i * 3 + j] = c * det
+    for i in range(3):
+        comps[9 + i] = (-sh_a[i] * gwshl_b + rho * gsconv_a * sh_b[i]) * det
+        comps[12 + i] = (
+            (f1 * rho) * sh_a[i] * gsshl_b
+            + f2 * gwshl_a * sh_b[i]
+            + (f2 * rho) * sh_a[i] * gsconv_b
+        ) * det
+    comps[15] = tau0_sum * e_k * det
+    ident = eye_a * (det > 0.0).astype(f32)
+    comps[16] = jnp.broadcast_to(ident, e_k.shape)
+    comps[17] = comps[16]
+
+    stacked = jnp.stack(comps, axis=1)  # (4, 18, E)
+    return stacked.reshape(72, det.shape[1])

@@ -276,7 +276,10 @@ class NSSolver:
         )
         self.lctx = None
         if use_lat:
-            lctx = build_lattice_context(mesh, dtype=dtype)
+            lctx = build_lattice_context(
+                mesh, dtype=dtype,
+                rows_backend=getattr(cfg, "lattice_backend", None),
+            )
             # face scatter plans are expressed in the FEMContext's DIA
             # plane order; require agreement (tiny boxes may not realize
             # every lattice offset in their sparsity).

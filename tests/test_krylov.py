@@ -132,3 +132,33 @@ def test_gmres_restarted_converges():
     np.testing.assert_allclose(np.asarray(full.x), x_true, rtol=1e-8, atol=1e-9)
     # restarted iter count is a multiple of m and bounded by maxit rounding
     assert int(rest.iters) % 20 == 0
+
+
+def test_gmres_iterative_refinement_reaches_tight_tol():
+    """Mixed-precision refinement (solver.refine.gmres_ir): f32 inner
+    GMRES + f64 residual updates reach 1e-12 relative residual - the
+    mechanism behind the on-hardware 1e-10 bar (tools/residual_check.py;
+    BASELINE.md correctness bar)."""
+    import jax.numpy as jnp
+
+    from dedflow_tpu.solver.refine import gmres_ir
+
+    rng = np.random.default_rng(5)
+    n = 120
+    a64 = jnp.asarray(rng.normal(size=(n, n)) / np.sqrt(n) + 3.0 * np.eye(n))
+    b64 = jnp.asarray(rng.normal(size=(n,)))
+    a32 = a64.astype(jnp.float32)
+
+    info = gmres_ir(
+        lambda v: a64 @ v,
+        lambda v: a32 @ v,
+        b64,
+        tol=1e-12,
+        inner_maxit=60,
+        inner_rtol=1e-5,
+    )
+    assert info.rel_residual <= 1e-12, info
+    assert info.cycles <= 6, info
+    # direct check against the true solution
+    x_ref = np.linalg.solve(np.asarray(a64), np.asarray(b64))
+    np.testing.assert_allclose(np.asarray(info.x), x_ref, rtol=1e-9)
