@@ -19,7 +19,6 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-import jax.numpy as jnp
 import numpy as np
 
 from dedflow_tpu.config import SolverConfig
@@ -71,15 +70,31 @@ class CoupledSolver:
             self.fluid = NSSolver(mesh, cfg, dtype=dtype)
             self._coupling_ctx = self.fluid.ctx
             cmesh = mesh
-        self.grid = coupling.element_grid(cmesh.xg, cmesh.ien)
+        self._lattice = cmesh.lattice
+        if self._lattice is not None:
+            # closed-form cell lookup on box meshes: no element grid and
+            # ~100x fewer candidate gathers (dem.coupling.locate_lattice)
+            lo = np.asarray(cmesh.xg).min(axis=0)
+            hi = np.asarray(cmesh.xg).max(axis=0)
+            self._lat_origin = lo
+            self._lat_spacing = (hi - lo) / np.asarray(self._lattice, float)
+            self.grid = None
+        else:
+            self.grid = coupling.element_grid(cmesh.xg, cmesh.ien)
 
     def step(self, wg, dwgold, dwg, pstate: ParticleState):
         """One coupled step; returns (wg, dwgold, dwg, pstate, stats).
         Fluid state arrays are in the solver's native layout (sharded
         partitioned order when device_mesh was given)."""
-        f_p, f_nodes = coupling.drag_exchange(
-            self.grid, self._coupling_ctx, pstate, wg, self.ccfg.drag_mu
-        )
+        if self._lattice is not None:
+            f_p, f_nodes = coupling.drag_exchange_lattice(
+                self._lattice, self._lat_origin, self._lat_spacing,
+                self._coupling_ctx, pstate, wg, self.ccfg.drag_mu,
+            )
+        else:
+            f_p, f_nodes = coupling.drag_exchange(
+                self.grid, self._coupling_ctx, pstate, wg, self.ccfg.drag_mu
+            )
         out = self.fluid.step(
             wg, dwgold, dwg, nodal_force=f_nodes.astype(wg.dtype)
         )

@@ -155,3 +155,69 @@ def drag_exchange(
     f_d = jnp.where((elem >= 0)[:, None], f_d, 0.0)
     f_nodes = reaction_to_nodes(ctx, elem, bary, f_d, w.shape[0])
     return f_d, f_nodes
+
+
+def locate_lattice(
+    lattice: tuple,  # (nx, ny, nz) cells
+    origin: np.ndarray,  # (3,) box lower corner
+    spacing: np.ndarray,  # (3,) cell sizes
+    ctx: FEMContext,
+    x_p: jnp.ndarray,
+    tol: float | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Lattice fast path for point location on box meshes: the containing
+    CELL is closed-form (floor((p - origin)/h)), so each particle tests
+    only the cell's 6 Kuhn tets instead of a 27-cell candidate gather
+    (~100x fewer gathers at 100k particles; same (elem, bary) contract as
+    `locate`). Element ids follow mesh.gen.box_mesh's cell-major order
+    e = ((ix*ny + iy)*nz + iz)*6 + t."""
+    if tol is None:
+        tol = 1.0e-10 if x_p.dtype == jnp.float64 else 1.0e-5
+    nx, ny, nz = lattice
+    dims = jnp.asarray([nx, ny, nz], jnp.int32)
+    rel = (x_p - jnp.asarray(origin, x_p.dtype)[None, :]) / jnp.asarray(
+        spacing, x_p.dtype
+    )[None, :]
+    coords = jnp.clip(jnp.floor(rel).astype(jnp.int32), 0, dims - 1)
+    inside_box = jnp.all((rel >= -tol) & (rel <= dims + tol), axis=-1)
+    cell = (coords[:, 0] * ny + coords[:, 1]) * nz + coords[:, 2]
+    e = cell[:, None] * 6 + jnp.arange(6, dtype=cell.dtype)[None, :]  # (P, 6)
+
+    x0 = ctx.xg[ctx.ien[e, 0]]  # (P, 6, 3)
+    inv_j = ctx.inv_j[e]  # (P, 6, 3, 3)
+    xi = jnp.einsum("pmij,pmj->pmi", inv_j, x_p[:, None, :] - x0)
+    lam0 = 1.0 - jnp.sum(xi, axis=-1)
+    bary = jnp.concatenate([lam0[..., None], xi], axis=-1)  # (P, 6, 4)
+    inside = (
+        inside_box[:, None]
+        & (ctx.det_j[e] > 0.0)
+        & jnp.all(bary >= -tol, axis=-1)
+    )
+    first = jnp.argmax(inside, axis=1)
+    found = jnp.take_along_axis(inside, first[:, None], axis=1)[:, 0]
+    elem = jnp.where(
+        found, jnp.take_along_axis(e, first[:, None], axis=1)[:, 0], -1
+    )
+    w = jnp.take_along_axis(bary, first[:, None, None], axis=1)[:, 0]
+    w = jnp.where(found[:, None], w, 0.0)
+    return elem.astype(jnp.int32), w
+
+
+def drag_exchange_lattice(
+    lattice: tuple,
+    origin,
+    spacing,
+    ctx: FEMContext,
+    state: ParticleState,
+    w: jnp.ndarray,
+    mu: float,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """drag_exchange with the closed-form lattice locator."""
+    elem, bary = locate_lattice(
+        lattice, np.asarray(origin), np.asarray(spacing), ctx, state.x
+    )
+    u_p = interpolate(ctx, elem, bary, w[:, :3])
+    f_d = stokes_drag(u_p, state, mu)
+    f_d = jnp.where((elem >= 0)[:, None], f_d, 0.0)
+    f_nodes = reaction_to_nodes(ctx, elem, bary, f_d, w.shape[0])
+    return f_d, f_nodes

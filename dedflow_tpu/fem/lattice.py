@@ -39,7 +39,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from dedflow_tpu.config import Physics, TimeScheme
-from dedflow_tpu.fem import dirichlet as dbc
 from dedflow_tpu.fem import pallas_kernels as pk
 from dedflow_tpu.fem.element import tet_geometry
 from dedflow_tpu.fem.face import (

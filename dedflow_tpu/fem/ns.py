@@ -27,7 +27,6 @@ from dedflow_tpu.fem.assembly import (
 )
 from dedflow_tpu.fem.face import (
     FaceContext,
-    face_lhs_elements,
     face_lhs_packed,
     face_residual_elements,
     scatter_face_matrix,

@@ -35,7 +35,6 @@ from dedflow_tpu.mesh.mesh import Mesh
 import dataclasses
 
 from dedflow_tpu.parallel.partition import (
-    PartitionInfo,
     partition_mesh,
     permute_state,
     unpermute_state,
@@ -130,13 +129,16 @@ class ShardedNSSolver:
         if self.lattice:
             self.pmesh, self.info = mesh, None
             self.solver = NSSolver(mesh, cfg, dtype=dtype)
+            lc = self.solver.lctx
             self.lattice = (
-                self.solver.lctx is not None  # offset-set guard
-                and (6 * self.solver.lctx.npad) % num_parts == 0
+                lc is not None  # offset-set guard
+                and (lc.npad + lc.dmax) % num_parts == 0  # lane shards even
             )
         if self.lattice:
             self.dtype = self.solver.dtype
-            lane = NamedSharding(device_mesh, PartitionSpec(None, axis))
+            # geometry is slab-major (6, R, npad + dmax): shard the LANE
+            # (cell) axis; slab and row axes stay whole per device
+            lane = NamedSharding(device_mesh, PartitionSpec(None, None, axis))
             lctx = dataclasses.replace(
                 self.solver.lctx, rows_backend="xla"
             )

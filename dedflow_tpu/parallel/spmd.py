@@ -31,7 +31,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh as DeviceMesh
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 
 from dedflow_tpu.sparse.fsbsr import PHIPHI, PP, PU, TT, UP, UU
 

@@ -20,7 +20,6 @@ Vectors may have any shape (e.g. (N, 6) states); reductions flatten.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, NamedTuple
 
 import jax

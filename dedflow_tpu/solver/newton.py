@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dedflow_tpu.config import KrylovConfig, Physics, SolverConfig, TimeScheme
+from dedflow_tpu.config import SolverConfig
 from dedflow_tpu.fem import dirichlet as dbc
 from dedflow_tpu.fem import ns
 from dedflow_tpu.fem.assembly import FEMContext, build_context
