@@ -110,8 +110,9 @@ class KrylovConfig:
     restart: int | None = None
     # Preconditioner: "fieldsplit" = the reference's block-Jacobi
     # decomposition (krylov.c:440-452); "simple" = SIMPLE-type pressure
-    # Schur complement (solver.pc.SIMPLEPCT; lattice path only, ~2.5x
-    # fewer GMRES iterations on the cavity benchmark).
+    # Schur complement (solver.pc.SIMPLEPC/SIMPLEPCT on the general/
+    # lattice paths; ~2.5x fewer GMRES iterations on the cavity
+    # benchmark at the same converged residuals).
     pc: str = "fieldsplit"
     # damped-Jacobi sweeps of the approximate Schur solve (pc="simple")
     pc_schur_sweeps: int = 6

@@ -96,6 +96,12 @@ def assemble_system(
         ctx, face_ctxs, mask, wa, dwa, phys, scheme, chunk, scatter_method,
         scalar_implicit, elements_kernel,
     )
+    if pc_type == "simple" and hasattr(jmat, "matvec_up"):
+        from dedflow_tpu.solver.pc import SIMPLEPC
+
+        return jmat, SIMPLEPC.from_matrix(
+            jmat, sweeps=pc_sweeps, omega=pc_omega
+        )
     return jmat, NSFieldSplitPC.from_matrix(jmat)
 
 

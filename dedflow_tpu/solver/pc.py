@@ -265,3 +265,63 @@ class SIMPLEPCT:
                 x_t[5] * self.inv_t_diag,
             ]
         )
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class SIMPLEPC:
+    """SIMPLE pressure-Schur PC over (N, 6) vectors - the general
+    (unstructured / ELL) counterpart of SIMPLEPCT. Same algorithm; the
+    Schur sweeps are damped Jacobi on diag(A_pp) (the exact Schur
+    diagonal needs the transpose slot map the ELL layout does not carry;
+    the A_pp diagonal was measured equally effective on the cavity
+    benchmark: 106 -> ~45 GMRES iterations vs block-Jacobi)."""
+
+    mat: object  # FSBSRMatrix (pytree member)
+    inv_vel_blocks: jnp.ndarray  # (N, 3, 3)
+    inv_s_diag: jnp.ndarray  # (N,)
+    inv_phi_diag: jnp.ndarray  # (N,)
+    inv_t_diag: jnp.ndarray  # (N,)
+    sweeps: int = dataclass_field(default=6, metadata=dict(static=True))
+    omega: float = dataclass_field(default=0.8, metadata=dict(static=True))
+
+    @staticmethod
+    def from_matrix(mat, sweeps: int = 6, omega: float = 0.8) -> "SIMPLEPC":
+        base = NSFieldSplitPC.from_matrix(mat)
+        d_pp = mat.diag_p()
+        safe = jnp.where(jnp.abs(d_pp) > 1e-30, d_pp, 1.0)
+        return SIMPLEPC(
+            mat=mat,
+            inv_vel_blocks=base.inv_vel_blocks,
+            inv_s_diag=1.0 / safe,
+            inv_phi_diag=base.inv_phi_diag,
+            inv_t_diag=base.inv_t_diag,
+            sweeps=sweeps,
+            omega=omega,
+        )
+
+    def _duinv(self, xu: jnp.ndarray) -> jnp.ndarray:
+        return jnp.einsum("nij,nj->ni", self.inv_vel_blocks, xu)
+
+    def _schur_apply(self, p: jnp.ndarray) -> jnp.ndarray:
+        m = self.mat
+        return m.matvec_pp(p) - m.matvec_pu(self._duinv(m.matvec_up(p)))
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        """x: (N, 6) -> (N, 6)."""
+        xu, xp = x[:, :3], x[:, 3]
+        ustar = self._duinv(xu)
+        rp = xp - self.mat.matvec_pu(ustar)
+        dp = self.omega * self.inv_s_diag * rp
+        for _ in range(self.sweeps - 1):
+            dp = dp + self.omega * self.inv_s_diag * (rp - self._schur_apply(dp))
+        u = ustar - self._duinv(self.mat.matvec_up(dp))
+        return jnp.concatenate(
+            [
+                u,
+                dp[:, None],
+                (x[:, 4] * self.inv_phi_diag)[:, None],
+                (x[:, 5] * self.inv_t_diag)[:, None],
+            ],
+            axis=1,
+        )

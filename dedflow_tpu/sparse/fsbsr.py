@@ -106,6 +106,30 @@ class FSBSRMatrix:
         yt = jnp.sum(c(TT) * xc[..., 5], axis=1)
         return jnp.stack(yu + [yp, yphi, yt], axis=-1)
 
+    # -- component-restricted matvecs (SIMPLE/Schur PC, solver.pc) -----
+    def matvec_up(self, p: jnp.ndarray) -> jnp.ndarray:
+        """(N,) pressure -> (N, 3) velocity rows: the A_up block only."""
+        pc_ = p[self.ell_col]  # (N, PR)
+        d = self.data
+        return jnp.stack(
+            [jnp.sum(d[..., UP(i)] * pc_, axis=1) for i in range(3)], axis=-1
+        )
+
+    def matvec_pu(self, u: jnp.ndarray) -> jnp.ndarray:
+        """(N, 3) velocity -> (N,) pressure row: the A_pu block only."""
+        uc = u[self.ell_col]  # (N, PR, 3)
+        d = self.data
+        return jnp.sum(
+            d[..., PU(0)] * uc[..., 0]
+            + d[..., PU(1)] * uc[..., 1]
+            + d[..., PU(2)] * uc[..., 2],
+            axis=1,
+        )
+
+    def matvec_pp(self, p: jnp.ndarray) -> jnp.ndarray:
+        """(N,) -> (N,): the A_pp block only."""
+        return jnp.sum(self.data[..., PP] * p[self.ell_col], axis=1)
+
     # ------------------------------------------------------------------
     def _diag(self, comp: int) -> jnp.ndarray:
         n = self.data.shape[0]

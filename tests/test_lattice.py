@@ -165,22 +165,27 @@ def test_simple_pc_cuts_iterations(solvers):
     base = lid_driven_cavity_config()
     iters = {}
     norms = {}
-    for pc in ("fieldsplit", "simple"):
+    for pc, lat in (("fieldsplit", "auto"), ("simple", "auto"),
+                    ("simple", "off")):
         cfg = dataclasses.replace(
-            base, krylov=dataclasses.replace(base.krylov, pc=pc, max_iter=300)
+            base, use_lattice=lat,
+            krylov=dataclasses.replace(base.krylov, pc=pc, max_iter=300),
         )
         s = NSSolver(mesh, cfg)
         state = tuple(
             jnp.asarray(x) for x in lid_driven_cavity_initial_state(mesh)
         )
         _, _, _, stats = s.step(*state)
-        iters[pc] = sum(stats.krylov_iters)
-        norms[pc] = np.asarray(stats.rnorms[-1])
-    assert iters["simple"] * 2 <= iters["fieldsplit"], iters
+        iters[(pc, lat)] = sum(stats.krylov_iters)
+        norms[(pc, lat)] = np.asarray(stats.rnorms[-1])
+    # both the lattice (SIMPLEPCT) and general-ELL (SIMPLEPC) variants
+    assert iters[("simple", "auto")] * 2 <= iters[("fieldsplit", "auto")], iters
+    assert iters[("simple", "off")] * 2 <= iters[("fieldsplit", "auto")], iters
     # both solves stop at the same GMRES rtol (1e-4), so the converged
     # Newton residuals agree to that order, not to machine precision
     np.testing.assert_allclose(
-        norms["simple"], norms["fieldsplit"], rtol=1e-2, atol=1e-12
+        norms[("simple", "auto")], norms[("fieldsplit", "auto")],
+        rtol=1e-2, atol=1e-12,
     )
 
 
