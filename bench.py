@@ -84,10 +84,11 @@ def _timeit(fn, *args, r1=2, r2=8):
         _sync(out)
         return time.perf_counter() - t0
 
-    run(1)  # warm compile + sync path
-    run(1)
-    t_a = min(run(r1) for _ in range(2))
-    t_b = min(run(r2) for _ in range(2))
+    # each run() pays one ~seconds-scale tunnel sync; keep the count low
+    # (the differencing already cancels the constant overhead)
+    run(1)  # warm the dispatch + sync path
+    t_a = run(r1)
+    t_b = run(r2)
     return max((t_b - t_a) / (r2 - r1), 1e-9)
 
 
@@ -159,6 +160,33 @@ def bench_assembly_spmv(platform):
         )
 
     n_spmv = 10
+    n_rep = 8  # in-jit repetitions per timed stage
+
+    # Every stage is timed as an in-jit loop with a carried data
+    # dependency: ONE dispatch + ONE device sync per measurement, so the
+    # multi-second tunnel sync latency cannot contaminate the numbers
+    # (rep-count differencing alone is sensitive to sync variance).
+    def resid_loop(ctx, face_ctxs, mask, wg, dwgold, dwg):
+        def body(_, d):
+            fr = resid(ctx, face_ctxs, mask, wg, dwgold, d)
+            fr2 = fr.T if lat else fr
+            return d + 0.0 * fr2
+
+        return resid(
+            ctx, face_ctxs, mask, wg, dwgold,
+            jax.lax.fori_loop(0, n_rep - 1, body, dwg),
+        )
+
+    def jac_loop(ctx, face_ctxs, mask, wg, dwgold, dwg):
+        def body(_, d):
+            jm = jac(ctx, face_ctxs, mask, wg, dwgold, d)
+            leaf = jax.tree_util.tree_leaves(jm)[0]
+            return d + 0.0 * leaf.reshape(-1)[0]
+
+        return jac(
+            ctx, face_ctxs, mask, wg, dwgold,
+            jax.lax.fori_loop(0, n_rep - 1, body, dwg),
+        )
 
     def spmv_loop(mat, x):
         mv = mat.matvec_t if lat else mat.matvec
@@ -171,19 +199,21 @@ def bench_assembly_spmv(platform):
 
     cargs = (ctx, solver.face_ctxs, solver.mask)
     resid_c = jax.jit(resid).lower(*cargs, wg, dwgold, dwg).compile()
+    resid_loop_c = jax.jit(resid_loop).lower(*cargs, wg, dwgold, dwg).compile()
     log("resid compiled")
     jac_c = jax.jit(jac).lower(*cargs, wg, dwgold, dwg).compile()
+    jac_loop_c = jax.jit(jac_loop).lower(*cargs, wg, dwgold, dwg).compile()
     log("jac compiled")
     jmat = jac_c(*cargs, wg, dwgold, dwg)
     f = resid_c(*cargs, wg, dwgold, dwg)
     spmv_c = jax.jit(spmv_loop).lower(jmat, f).compile()
     log("spmv compiled")
 
-    t_f = _timeit(resid_c, *cargs, wg, dwgold, dwg)
+    t_f = _timeit(resid_loop_c, *cargs, wg, dwgold, dwg, r1=1, r2=2) / n_rep
     log(f"resid timed {t_f*1e3:.1f} ms")
-    t_j = _timeit(jac_c, *cargs, wg, dwgold, dwg)
+    t_j = _timeit(jac_loop_c, *cargs, wg, dwgold, dwg, r1=1, r2=2) / n_rep
     log(f"jac timed {t_j*1e3:.1f} ms")
-    t_s = _timeit(spmv_c, jmat, f)
+    t_s = _timeit(spmv_c, jmat, f, r1=1, r2=2)  # one call = 10 matvecs
     log(f"spmv timed {t_s*1e3:.1f} ms")
 
     fl_f, _ = _cost(resid_c)
@@ -252,12 +282,16 @@ def bench_assembly_spmv(platform):
         # rtol=atol=0: never converges early -> exactly gm_it iterations
         return gmres(mv, b, maxit=gm_it, atol=0.0, rtol=0.0, pc=pc).x
 
-    gsolve_c = jax.jit(gsolve).lower(jmat, f).compile()
-    log("gmres compiled")
-    t_g = _timeit(gsolve_c, jmat, f, r1=1, r2=3)
-    gmres_iters_per_s = gm_it / t_g
-    log(f"gmres timed {t_g*1e3:.1f} ms for {gm_it} iters "
-        f"({gmres_iters_per_s:.0f} iters/s)")
+    try:
+        gsolve_c = jax.jit(gsolve).lower(jmat, f).compile()
+        log("gmres compiled")
+        t_g = _timeit(gsolve_c, jmat, f, r1=1, r2=3)
+        gmres_iters_per_s = gm_it / t_g
+        log(f"gmres timed {t_g*1e3:.1f} ms for {gm_it} iters "
+            f"({gmres_iters_per_s:.0f} iters/s)")
+    except Exception as e:  # noqa: BLE001 - keep the primary metric alive
+        log(f"gmres bench failed ({type(e).__name__}); reporting -1")
+        t_g, gmres_iters_per_s = -1.0, -1.0
 
     return dict(
         gflops=gflops,
@@ -305,9 +339,33 @@ def bench_dem(platform):
 
 
 def main() -> None:
+    # persistent compile cache: repeat bench runs on the same host skip
+    # the ~2-6 min kernel compiles
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("DEDFLOW_BENCH_CACHE", "/tmp/dedflow_jax_cache_tpu"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:  # noqa: BLE001 - cache is best-effort
+        pass
     platform = jax.devices()[0].platform
-    asm = bench_assembly_spmv(platform)
-    dem = bench_dem(platform)
+    # Each section retries once: the experimental device tunnel can throw
+    # transient UNAVAILABLE faults; the primary metric must still emit.
+    def attempt(fn, *a):
+        try:
+            return fn(*a)
+        except Exception as e:  # noqa: BLE001 - deliberate fault barrier
+            log(f"section {fn.__name__} failed ({type(e).__name__}: "
+                f"{str(e)[:200]}); retrying once")
+            return fn(*a)
+
+    asm = attempt(bench_assembly_spmv, platform)
+    try:
+        dem = attempt(bench_dem, platform)
+    except Exception as e:  # noqa: BLE001
+        log(f"dem bench failed twice ({type(e).__name__}); reporting -1")
+        dem = dict(dem_pairs_per_s=-1.0, t_substep_ms=-1.0)
     print(
         json.dumps(
             {
