@@ -80,6 +80,14 @@ def build_argparser() -> argparse.ArgumentParser:
         "regardless of JAX_PLATFORMS; this wins)",
     )
     p.add_argument(
+        "--pc",
+        choices=["fieldsplit", "simple"],
+        default=None,
+        help="Krylov preconditioner (fieldsplit = reference block-Jacobi "
+        "decomposition; simple = SIMPLE pressure-Schur, ~2.5x fewer "
+        "GMRES iterations)",
+    )
+    p.add_argument(
         "--fixed-newton",
         type=int,
         default=None,
@@ -169,6 +177,10 @@ def main(argv=None) -> int:
         overrides.setdefault("elements_kernel", "pallas")
     if overrides:
         cfg = dataclasses.replace(cfg, **overrides)
+    if args.pc:
+        cfg = dataclasses.replace(
+            cfg, krylov=dataclasses.replace(cfg.krylov, pc=args.pc)
+        )
     dtype = None
     if args.dtype:
         dtype = jnp.float32 if args.dtype == "f32" else jnp.float64
