@@ -238,4 +238,6 @@ def load_config(path: str) -> SolverConfig:
         implicit_scalars=d.get("implicit_scalars", False),
         elements_kernel=d.get("elements_kernel", "xla"),
         pin_pressure=d.get("pin_pressure", False),
+        use_lattice=d.get("use_lattice", "auto"),
+        lattice_backend=d.get("lattice_backend"),
     )

@@ -60,3 +60,25 @@ def test_mesh_convert_requires_meshio_gracefully(tmp_path):
     if not has_meshio:
         assert out.returncode != 0
         assert "meshio is required" in (out.stderr + out.stdout)
+
+
+def test_config_roundtrip_includes_round2_fields(tmp_path):
+    """save_config/load_config preserve the round-2 solver options
+    (SIMPLE PC settings, lattice gating/backends)."""
+    from dedflow_tpu.config import KrylovConfig, SolverConfig, load_config, save_config
+
+    cfg = SolverConfig(
+        krylov=KrylovConfig(pc="simple", pc_schur_sweeps=4, pc_schur_omega=0.7),
+        use_lattice="on",
+        lattice_backend="xla",
+        scatter_method="grouped",
+    )
+    p = str(tmp_path / "cfg.json")
+    save_config(cfg, p)
+    back = load_config(p)
+    assert back.krylov.pc == "simple"
+    assert back.krylov.pc_schur_sweeps == 4
+    assert back.krylov.pc_schur_omega == 0.7
+    assert back.use_lattice == "on"
+    assert back.lattice_backend == "xla"
+    assert back.scatter_method == "grouped"
