@@ -525,6 +525,7 @@ def residual_fused(
     src_t: jnp.ndarray | None,  # (1, N) or None
     phys: Physics,
     scheme: TimeScheme,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """(6, N) volume residual via the fused kernel (TPU, f32)."""
     e, dmax, npad, n = _EF_RES, lctx.dmax, lctx.npad, lctx.num_node
@@ -564,6 +565,7 @@ def residual_fused(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024
         ),
+        interpret=interpret,
     )(state, lctx.res_geom.astype(jnp.float32))
     return out[:6, :n]
 

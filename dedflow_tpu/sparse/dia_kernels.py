@@ -26,8 +26,9 @@ _E = 4096  # lanes (rows of the matrix) per grid step
 
 
 def _mv_kernel(xpad_hbm, d_ref, o_ref, *, offsets, dpad, e):
+    k = pl.program_id(0)  # hoisted: interpret mode forbids it in run_scoped
+
     def body(win, sem):
-        k = pl.program_id(0)
         dma = pltpu.make_async_copy(
             xpad_hbm.at[:, pl.ds(k * e, e + 2 * dpad)], win, sem
         )
@@ -68,6 +69,7 @@ def dia_matvec_pallas(
     data: jnp.ndarray,  # (D, 18, N) f32
     x_t: jnp.ndarray,  # (6, N) f32
     offsets: tuple,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """(6, N) = A @ x for the component-major DIA matrix (TPU path)."""
     d, _, n = data.shape
@@ -89,5 +91,6 @@ def dia_matvec_pallas(
             pl.BlockSpec((d * 18, _E), lambda k: (0, k), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((6, _E), lambda k: (0, k), memory_space=pltpu.VMEM),
+        interpret=interpret,
     )(xpad, dmat)
     return out[:, :n]

@@ -65,3 +65,69 @@ def test_pallas_residual_matches_oracle_interpret():
         )
         scale = np.abs(ref).max()
         assert np.abs(ref - got).max() < 2e-5 * scale
+
+
+def test_fused_residual_kernel_interpret_matches_xla():
+    """The fully-fused lattice residual kernel (window DMA + in-kernel
+    node reduction) == the XLA pipeline, in Pallas interpret mode on CPU
+    (the on-hardware check is tools/tpu_selfcheck.py)."""
+    import numpy as np
+
+    from dedflow_tpu.app.scenarios import (
+        reference_initial_state,
+        reference_scenario_config,
+    )
+    from dedflow_tpu.fem import ns
+    from dedflow_tpu.fem import pallas_kernels as pk
+    from dedflow_tpu.fem.lattice import (
+        _reduce_residual,
+        _residual_inputs,
+        build_lattice_context,
+        residual_fused,
+    )
+    from dedflow_tpu.mesh.gen import box_mesh
+
+    cfg = reference_scenario_config()
+    mesh = box_mesh(3, 3, 3)
+    lctx = build_lattice_context(mesh, dtype=jnp.float32, rows_backend="xla")
+    wg, dwgold, dwg = (
+        jnp.asarray(x, jnp.float32) for x in reference_initial_state(mesh)
+    )
+    wa, dwa = ns.alpha_states(wg, dwgold, dwg, cfg.time)
+    f_ref = _reduce_residual(
+        lctx,
+        pk.res_rows_call(
+            _residual_inputs(lctx, wa.T, dwa.T, None),
+            cfg.physics, cfg.time, backend="xla",
+        ).astype(jnp.float32),
+    )
+    f_int = residual_fused(
+        lctx, wa.T, dwa.T, None, cfg.physics, cfg.time, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(f_int), np.asarray(f_ref), rtol=2e-5, atol=1e-7
+    )
+
+
+def test_dia_spmv_kernel_interpret_matches_xla():
+    """The halo-window DIA SpMV kernel == the shifted-slice XLA matvec,
+    interpret mode on CPU."""
+    import numpy as np
+
+    from dedflow_tpu.fem.lattice import build_lattice_context
+    from dedflow_tpu.mesh.gen import box_mesh
+    from dedflow_tpu.sparse.dia_kernels import dia_matvec_pallas
+    from dedflow_tpu.sparse.fsbsr import FSDIAMatrixT
+
+    mesh = box_mesh(3, 3, 3)
+    lctx = build_lattice_context(mesh, dtype=jnp.float32, rows_backend="xla")
+    rng = np.random.RandomState(0)
+    d = len(lctx.offsets)
+    n = mesh.num_node
+    data = jnp.asarray(rng.randn(d, 18, n), jnp.float32)
+    mat = FSDIAMatrixT(data=data, offsets=lctx.offsets, backend="xla")
+    x = jnp.asarray(rng.randn(6, n), jnp.float32)
+    y_int = dia_matvec_pallas(data, x, lctx.offsets, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(y_int), np.asarray(mat.matvec_t(x)), rtol=2e-5, atol=1e-4
+    )
