@@ -58,6 +58,32 @@ class FaceContext:
     mat_targets_dia_t: jnp.ndarray | None = None
     dia_row_lo: int = field(default=0, metadata=dict(static=True))
     dia_row_span: int = field(default=0, metadata=dict(static=True))
+    # counting-sort slot plans (lattice fast path): fixed-width source
+    # lists per target, so the scatter becomes K small row-GATHERS + sum.
+    # XLA segment_sum lowers to a TPU scatter (~1 ms against the full-N
+    # residual); the slot gather touches only O(boundary) rows.
+    node_slot_idx: jnp.ndarray | None = None  # (node_span, Kn) into nf*4
+    mat_slot_idx: jnp.ndarray | None = None  # (D*span, Km) into nf*16
+    node_row_lo: int = field(default=0, metadata=dict(static=True))
+    node_row_span: int = field(default=0, metadata=dict(static=True))
+
+
+def _slot_plan(targets: np.ndarray, num_slots: int) -> np.ndarray:
+    """(num_slots, K) source indices per target (counting-sort layout);
+    pad entries point at len(targets) - the caller appends a zero row."""
+    m = targets.size
+    if m == 0:
+        return np.full((num_slots, 1), 0, dtype=np.int32)
+    counts = np.bincount(targets, minlength=num_slots)
+    k = max(int(counts.max()), 1)
+    order = np.argsort(targets, kind="stable")
+    sor = targets[order]
+    start = np.zeros(num_slots, dtype=np.int64)
+    start[1:] = np.cumsum(counts)[:-1]
+    offs = np.arange(m) - start[sor]
+    slot = np.full((num_slots, k), m, dtype=np.int64)
+    slot[sor, offs] = order
+    return slot.astype(np.int32)
 
 
 def build_face_context(
@@ -79,7 +105,17 @@ def build_face_context(
     mat_t_ell = nnz_to_ell[mat_t[mat_perm]].astype(np.int32)
     mat_perm_dia = mat_targets_dia = None
     mat_perm_dia_t = mat_targets_dia_t = None
+    node_slot_idx = mat_slot_idx = None
     dia_row_lo = dia_row_span = 0
+    node_row_lo = node_row_span = 0
+    if ctx.dia_offsets is not None:
+        node_row_lo = int(node_t.min()) if node_t.size else 0
+        node_row_span = (
+            int(node_t.max()) - node_row_lo + 1 if node_t.size else 1
+        )
+        node_slot_idx = jnp.asarray(
+            _slot_plan(node_t.astype(np.int64) - node_row_lo, node_row_span)
+        )
     if ctx.dia_offsets is not None:
         uniq = np.asarray(ctx.dia_offsets, dtype=np.int64)
         rows = np.asarray(sparsity.row_ids, dtype=np.int64)[mat_t]
@@ -96,6 +132,9 @@ def build_face_context(
         perm_t = np.argsort(pos_t, kind="stable").astype(np.int32)
         mat_perm_dia_t = jnp.asarray(perm_t)
         mat_targets_dia_t = jnp.asarray(pos_t[perm_t].astype(np.int32))
+        mat_slot_idx = jnp.asarray(
+            _slot_plan(pos_t, len(uniq) * dia_row_span)
+        )
     return FaceContext(
         mat_perm_dia=mat_perm_dia,
         mat_targets_dia=mat_targets_dia,
@@ -103,6 +142,10 @@ def build_face_context(
         mat_targets_dia_t=mat_targets_dia_t,
         dia_row_lo=dia_row_lo,
         dia_row_span=dia_row_span,
+        node_slot_idx=node_slot_idx,
+        mat_slot_idx=mat_slot_idx,
+        node_row_lo=node_row_lo,
+        node_row_span=node_row_span,
         f2e=f2e,
         forn=forn,
         ien=jnp.asarray(ien_np),
@@ -336,6 +379,30 @@ def face_dia_block(
         num_segments=num_planes * span,
         indices_are_sorted=True,
     )
+    return out.reshape(num_planes, span, upd.shape[1]).transpose(0, 2, 1)
+
+
+def face_residual_band(fctx: FaceContext, elem_f: jnp.ndarray) -> jnp.ndarray:
+    """(nf, 4, 6) facet residuals -> dense (node_span, 6) band over
+    [node_row_lo, node_row_lo + node_span) via the counting-sort slot
+    plan: K row-gathers + sum instead of a full-N TPU scatter."""
+    flat = elem_f.reshape(fctx.num_facet * 4, -1)
+    flat = jnp.concatenate(
+        [flat, jnp.zeros((1, flat.shape[1]), flat.dtype)], axis=0
+    )
+    return jnp.sum(flat[fctx.node_slot_idx], axis=1)
+
+
+def face_dia_band(
+    fctx: FaceContext, upd: jnp.ndarray, num_planes: int
+) -> jnp.ndarray:
+    """(nf*16, 18) packed facet updates -> dense (D, 18, span) block (same
+    result as face_dia_block) via the counting-sort slot plan."""
+    span = fctx.dia_row_span
+    flat = jnp.concatenate(
+        [upd, jnp.zeros((1, upd.shape[1]), upd.dtype)], axis=0
+    )
+    out = jnp.sum(flat[fctx.mat_slot_idx], axis=1)
     return out.reshape(num_planes, span, upd.shape[1]).transpose(0, 2, 1)
 
 

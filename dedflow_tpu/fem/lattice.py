@@ -42,8 +42,10 @@ from dedflow_tpu.config import Physics, TimeScheme
 from dedflow_tpu.fem import pallas_kernels as pk
 from dedflow_tpu.fem.element import tet_geometry
 from dedflow_tpu.fem.face import (
+    face_dia_band,
     face_dia_block,
     face_lhs_packed,
+    face_residual_band,
     face_residual_elements,
     scatter_face_residual,
 )
@@ -56,11 +58,12 @@ from dedflow_tpu.sparse.fsbsr import (
 )
 
 
-# fused-kernel element-block sizes (lanes per grid step); LHS is smaller
-# because its per-vertex (72, E + dmax) VMEM intermediate still trails a
-# (272, E) output accumulator
+# fused-kernel element-block sizes (lanes per grid step). With the
+# sequential-grid carry accumulator (see _res_fused_kernel) each block
+# computes ONLY its own elements - no halo recompute - so the block size
+# just amortizes the per-block carry shift and DMA setup.
 _EF_RES = 8192
-_EF_LHS = 4096
+_EF_LHS = 8192
 
 
 @jax.tree_util.register_dataclass
@@ -322,7 +325,14 @@ def assemble_residual_t(
         f = f.at[:3, :].add(-nodal_force.T)
     for fctx in face_ctxs:
         fe = face_residual_elements(fctx, w_alpha, dw_alpha, phys)
-        f = f + scatter_face_residual(fctx, fe, lctx.num_node).T
+        if fctx.node_slot_idx is not None:
+            # counting-sort band: K row-gathers + a static band add; the
+            # full-N segment_sum lowers to a TPU scatter (~1.5 ms at 1M)
+            band = face_residual_band(fctx, fe).astype(f.dtype)
+            lo = fctx.node_row_lo
+            f = f.at[:, lo : lo + fctx.node_row_span].add(band.T)
+        else:
+            f = f + scatter_face_residual(fctx, fe, lctx.num_node).T
     if freeze_phi_temperature:
         f = f.at[4:, :].set(0.0)  # main.c:64
     return jnp.where(mask.T, jnp.zeros((), f.dtype), f)
@@ -341,11 +351,29 @@ def assemble_jacobian_t(
     (frozen-scalar mode, like the reference's LHS kernel)."""
     dtype = w_alpha.dtype
     num_planes = len(lctx.offsets)
-    # NOTE the Jacobian stays on the unfused pipeline even on TPU: the
-    # fused window kernel (jacobian_fused) pays a 2.6x halo-recompute of
-    # the compute-bound element body at its VMEM-limited block size and
-    # measures ~10% SLOWER than streaming the (6, 288, npad) intermediate
-    # through HBM. The residual's larger blocks make fusion a win there.
+    mask_t = mask.T
+    if lctx.rows_backend == "pallas":
+        # fused carry-accumulator kernel: element body computed exactly
+        # once, the (6, 288, npad) HBM intermediate never exists, and the
+        # Dirichlet masking + unit diagonal ride the kernel's output
+        # write. Facet contributions then touch ONLY the boundary's
+        # contiguous row band (an in-place dynamic-update-slice), instead
+        # of a full extra pass over the matrix.
+        keep_pc = keep_pc_rows(mask_t, jnp.float32)
+        add18 = diag_add_rows(mask_t, jnp.float32)
+        data = jacobian_fused(
+            lctx, w_alpha.T, phys, scheme, keep18=keep_pc, add18=add18
+        ).astype(dtype)
+        for fctx in face_ctxs:
+            upd = face_lhs_packed(fctx, w_alpha, dw_alpha, phys, scheme)
+            mk = face_dia_band if fctx.mat_slot_idx is not None else face_dia_block
+            blk = mk(fctx, upd, num_planes).astype(dtype)
+            lo, span = fctx.dia_row_lo, fctx.dia_row_span
+            band_keep = jax.lax.slice_in_dim(keep_pc, lo, lo + span, axis=1)
+            data = data.at[:, :, lo : lo + span].add(blk * band_keep[None])
+        return FSDIAMatrixT(
+            data=data, offsets=lctx.offsets, backend="pallas"
+        )
     inp = _lhs_inputs(lctx, w_alpha.T)
     out = pk.lhs_rows_call(inp, phys, scheme, backend=lctx.rows_backend)
     planes = _reduce_lhs_planes(lctx, out.astype(dtype))
@@ -357,11 +385,11 @@ def assemble_jacobian_t(
     face_blks = []
     for fctx in face_ctxs:
         upd = face_lhs_packed(fctx, w_alpha, dw_alpha, phys, scheme)
+        mk = face_dia_band if fctx.mat_slot_idx is not None else face_dia_block
         face_blks.append(
-            (face_dia_block(fctx, upd, num_planes).astype(dtype),
+            (mk(fctx, upd, num_planes).astype(dtype),
              fctx.dia_row_lo, fctx.dia_row_span)
         )
-    mask_t = mask.T
     keep_pc = keep_pc_rows(mask_t, dtype)
     add18 = diag_add_rows(mask_t, dtype)
     d0 = lctx.offsets.index(0)
@@ -389,86 +417,119 @@ def assemble_jacobian_t(
 # Fully-fused assembly kernels (TPU): state + geometry windows are DMA'd
 # into VMEM, the element weak form AND the node/DIA-plane reduction run
 # in one pass, and the (24|288, 6*npad) element-update intermediates
-# never touch HBM. Traffic drops from ~3.5 GB (J) / ~3.5 GB (F) to the
-# geometry read + the result write. The unfused path remains the oracle
-# (exact equality on TPU: same f32 ops in the same order per element).
+# never touch HBM.
+#
+# Carry-accumulator design (round 3): the TPU Pallas grid executes
+# SEQUENTIALLY on the core, so scratch buffers persist across grid steps.
+# Block k computes ONLY its own elements [k*e, (k+1)*e) - zero halo
+# recompute - and accumulates into a (rows, e + dmax) window of nodes
+# [k*e, (k+1)*e + dmax). The tail [dmax wide] holds contributions to the
+# NEXT block's nodes; at the start of block k+1 it is shifted to the head
+# of the accumulator (all vertex offsets are non-negative, so no element
+# ever contributes to an earlier block's rows). This replaces the
+# previous design, which recomputed a dmax-wide halo of elements per
+# block (1.4-2.6x extra element-body work at VMEM-limited block sizes).
+# The unfused path remains the oracle; carry reassociates the per-node
+# sums across block boundaries, so agreement is f32-roundoff, not exact.
 
 from functools import partial as _partial
 
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Tests flip this to run the fused kernels through the Pallas interpreter
+# on CPU (exercising the full assemble_*_t pallas branches off-TPU).
+INTERPRET_FUSED = False
+
+
+def _carry_shift(acc, k, e, dmax):
+    """Sequential-grid carry: move the tail (next block's rows) to the
+    head, zero the rest. Block 0 starts from a cleared accumulator."""
+
+    @pl.when(k == 0)
+    def _():
+        acc[:, :] = jnp.zeros_like(acc)
+
+    @pl.when(k > 0)
+    def _():
+        head = acc[:, e:]
+        acc[:, :dmax] = head
+        acc[:, dmax:] = jnp.zeros(
+            (acc.shape[0], acc.shape[1] - dmax), jnp.float32
+        )
+
 
 def _res_fused_kernel(
-    state_hbm, geom_hbm, out_ref, win, gbuf, inp_buf, sem_s, sem_g,
-    *, args, e, dmax, npad, deltas,
+    state_hbm, geom_hbm, out_ref, win, gbuf, inp_buf, acc, sem_s, sem_g,
+    *, args, e, dmax, deltas,
 ):
     k = pl.program_id(0)
-    gw = e + dmax
     pltpu.make_async_copy(
-        state_hbm.at[:, pl.ds(k * e, e + 2 * dmax)], win, sem_s
+        state_hbm.at[:, pl.ds(k * e + dmax, e + dmax)], win, sem_s
     ).start()
     pltpu.make_async_copy(
-        geom_hbm.at[0, :, pl.ds(k * e, gw)], gbuf.at[0], sem_g.at[0]
+        geom_hbm.at[0, :, pl.ds(k * e + dmax, e)], gbuf.at[0], sem_g.at[0]
     ).start()
+    _carry_shift(acc, k, e, dmax)
     pltpu.make_async_copy(
-        state_hbm.at[:, pl.ds(k * e, e + 2 * dmax)], win, sem_s
+        state_hbm.at[:, pl.ds(k * e + dmax, e + dmax)], win, sem_s
     ).wait()
-    acc = jnp.zeros((6, e), jnp.float32)
     for t in range(6):
         pltpu.make_async_copy(
-            geom_hbm.at[t, :, pl.ds(k * e, gw)],
+            geom_hbm.at[t, :, pl.ds(k * e + dmax, e)],
             gbuf.at[t % 2],
             sem_g.at[t % 2],
         ).wait()
         if t < 5:
             pltpu.make_async_copy(
-                geom_hbm.at[t + 1, :, pl.ds(k * e, gw)],
+                geom_hbm.at[t + 1, :, pl.ds(k * e + dmax, e)],
                 gbuf.at[(t + 1) % 2],
                 sem_g.at[(t + 1) % 2],
             ).start()
         d = deltas[t]
-        # assemble the (67, GW) kernel input in a scratch ref: row stores
+        # assemble the (67, E) kernel input in a scratch ref: row stores
         # re-layout the lane-shifted window slices (Mosaic cannot
         # concatenate values at mixed lane offsets)
         inp_buf[0:19, :] = gbuf[t % 2][:19]
         for r in range(12):  # u(3)+du(3), p, phi, T, dphi, dT, src per a
             for a in range(4):
-                inp_buf[19 + r * 4 + a, :] = win[r, d[a] : d[a] + gw]
-        res = pk._res_rows(inp_buf[:, :], **args)  # (24, GW)
+                inp_buf[19 + r * 4 + a, :] = win[r, d[a] : d[a] + e]
+        res = pk._res_rows(inp_buf[:, :], **args)  # (24, E)
         for a in range(4):
-            s = dmax - d[a]
-            acc = acc + res[a * 6 : (a + 1) * 6, s : s + e]
-    out_ref[:6, :] = acc
+            da = d[a]
+            acc[0:6, da : da + e] = (
+                acc[0:6, da : da + e] + res[a * 6 : (a + 1) * 6, :]
+            )
+    out_ref[0:6, :] = acc[0:6, :e]
     out_ref[6:, :] = jnp.zeros((2, e), jnp.float32)
 
 
 def _lhs_fused_kernel(
-    state_hbm, geom_hbm, out_ref, win, gbuf, inp_buf, sem_s, sem_g,
-    *, args, e, dmax, npad, deltas, plane_tab, num_planes,
+    state_hbm, geom_hbm, ka_hbm, out_ref, win, gbuf, inp_buf, acc, kabuf,
+    sem_s, sem_g, sem_k,
+    *, args, e, dmax, deltas, plane_tab, num_planes, d0,
 ):
     k = pl.program_id(0)
-    gw = e + dmax
     pltpu.make_async_copy(
-        state_hbm.at[:, pl.ds(k * e, e + 2 * dmax)], win, sem_s
+        state_hbm.at[:, pl.ds(k * e + dmax, e + dmax)], win, sem_s
     ).start()
     pltpu.make_async_copy(
-        geom_hbm.at[0, :, pl.ds(k * e, gw)], gbuf.at[0], sem_g.at[0]
+        geom_hbm.at[0, :, pl.ds(k * e + dmax, e)], gbuf.at[0], sem_g.at[0]
     ).start()
+    pltpu.make_async_copy(ka_hbm.at[:, pl.ds(k * e, e)], kabuf, sem_k).start()
+    _carry_shift(acc, k, e, dmax)
     pltpu.make_async_copy(
-        state_hbm.at[:, pl.ds(k * e, e + 2 * dmax)], win, sem_s
+        state_hbm.at[:, pl.ds(k * e + dmax, e + dmax)], win, sem_s
     ).wait()
-    nrow = num_planes * 18
-    written = [False] * num_planes
     for t in range(6):
         pltpu.make_async_copy(
-            geom_hbm.at[t, :, pl.ds(k * e, gw)],
+            geom_hbm.at[t, :, pl.ds(k * e + dmax, e)],
             gbuf.at[t % 2],
             sem_g.at[t % 2],
         ).wait()
         if t < 5:
             pltpu.make_async_copy(
-                geom_hbm.at[t + 1, :, pl.ds(k * e, gw)],
+                geom_hbm.at[t + 1, :, pl.ds(k * e + dmax, e)],
                 gbuf.at[(t + 1) % 2],
                 sem_g.at[(t + 1) % 2],
             ).start()
@@ -476,33 +537,40 @@ def _lhs_fused_kernel(
         inp_buf[0:12, :] = gbuf[t % 2][:12]
         for i in range(3):
             for a in range(4):
-                inp_buf[12 + i * 4 + a, :] = win[i, d[a] : d[a] + gw]
+                inp_buf[12 + i * 4 + a, :] = win[i, d[a] : d[a] + e]
         inp_buf[24:27, :] = gbuf[t % 2][12:15]
-        # one vertex chunk (72, GW) at a time: 4x less VMEM than the full
-        # (288, GW) update, which buys 2x larger lane blocks and halves
-        # the halo recompute. Accumulation goes through out_ref stores
-        # (ref stores re-layout the lane-shifted slices; Mosaic cannot
-        # concatenate values at mixed lane offsets).
+        # full 16-pair update: (16, E) sublane tiles run at full VPU
+        # occupancy (the per-vertex (4, E) chunk variant issues 2x the
+        # vector ops for the same arithmetic)
+        upd = pk._lhs_rows(inp_buf[:, :], **args)  # (288, E)
         for a in range(4):
-            upd = pk._lhs_chunk(inp_buf[:, :], a, **args)  # (72, GW)
-            s = dmax - d[a]
+            da = d[a]
             for b in range(4):
                 p = plane_tab[t][a][b]
-                blk = upd[b * 18 : (b + 1) * 18, s : s + e]
+                s = (a * 4 + b) * 18
                 sl = slice(p * 18, (p + 1) * 18)
-                if written[p]:
-                    out_ref[sl, :] = out_ref[sl, :] + blk
-                else:
-                    out_ref[sl, :] = blk
-                    written[p] = True
-    zero18 = jnp.zeros((18, e), jnp.float32)
+                acc[sl, da : da + e] = (
+                    acc[sl, da : da + e] + upd[s : s + 18, :]
+                )
+    # fused Dirichlet row masking + unit diagonal (dirichlet.c:47-61):
+    # keep/add rows are per packed component, identical for every plane.
+    pltpu.make_async_copy(ka_hbm.at[:, pl.ds(k * e, e)], kabuf, sem_k).wait()
+    keep = kabuf[0:18, :]
+    add = kabuf[24:42, :]
+    rows = []
     for p in range(num_planes):
-        if not written[p]:
-            out_ref[p * 18 : (p + 1) * 18, :] = zero18
-    if out_ref.shape[0] > nrow:
-        out_ref[nrow:, :] = jnp.zeros(
-            (out_ref.shape[0] - nrow, e), jnp.float32
-        )
+        rows.append(keep)
+    pad_rows = out_ref.shape[0] - num_planes * 18
+    if pad_rows:
+        rows.append(jnp.zeros((pad_rows, e), jnp.float32))
+    keep_big = jnp.concatenate(rows, axis=0)
+    arows = []
+    for p in range(num_planes):
+        arows.append(add if p == d0 else jnp.zeros((18, e), jnp.float32))
+    if pad_rows:
+        arows.append(jnp.zeros((pad_rows, e), jnp.float32))
+    add_big = jnp.concatenate(arows, axis=0)
+    out_ref[:, :] = acc[:, :e] * keep_big + add_big
 
 
 def _fused_state_rows(lctx, rows_list, nb, e):
@@ -525,10 +593,13 @@ def residual_fused(
     src_t: jnp.ndarray | None,  # (1, N) or None
     phys: Physics,
     scheme: TimeScheme,
-    interpret: bool = False,
+    interpret: bool | None = None,
+    block: int | None = None,  # lane-block override (tests: force nb > 1)
 ) -> jnp.ndarray:
     """(6, N) volume residual via the fused kernel (TPU, f32)."""
-    e, dmax, npad, n = _EF_RES, lctx.dmax, lctx.npad, lctx.num_node
+    if interpret is None:
+        interpret = INTERPRET_FUSED
+    e, dmax, npad, n = block or _EF_RES, lctx.dmax, lctx.npad, lctx.num_node
     nb = -(-n // e)
     zero = jnp.zeros((1, n), jnp.float32)
     state = _fused_state_rows(
@@ -543,8 +614,7 @@ def residual_fused(
         fb=tuple(float(v) for v in phys.body_force), dt=float(scheme.dt),
     )
     kern = _partial(
-        _res_fused_kernel, args=args, e=e, dmax=dmax, npad=npad,
-        deltas=lctx.deltas,
+        _res_fused_kernel, args=args, e=e, dmax=dmax, deltas=lctx.deltas,
     )
     out = pl.pallas_call(
         kern,
@@ -556,9 +626,10 @@ def residual_fused(
         ],
         out_specs=pl.BlockSpec((8, e), lambda k: (0, k)),
         scratch_shapes=[
-            pltpu.VMEM((16, e + 2 * dmax), jnp.float32),
-            pltpu.VMEM((2, 24, e + dmax), jnp.float32),
-            pltpu.VMEM((67, e + dmax), jnp.float32),
+            pltpu.VMEM((16, e + dmax), jnp.float32),
+            pltpu.VMEM((2, 24, e), jnp.float32),
+            pltpu.VMEM((67, e), jnp.float32),
+            pltpu.VMEM((8, e + dmax), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -575,21 +646,38 @@ def jacobian_fused(
     wa_t: jnp.ndarray,  # (6, N)
     phys: Physics,
     scheme: TimeScheme,
+    interpret: bool | None = None,
+    block: int | None = None,  # lane-block override (tests: force nb > 1)
+    keep18: jnp.ndarray | None = None,  # (18, N) row-keep factors
+    add18: jnp.ndarray | None = None,  # (18, N) unit-diagonal additions
 ) -> jnp.ndarray:
-    """(D, 18, N) raw volume DIA data via the fused kernel (TPU, f32)."""
-    e, dmax, npad, n = _EF_LHS, lctx.dmax, lctx.npad, lctx.num_node
+    """(D, 18, N) volume DIA data via the fused kernel (TPU, f32).
+
+    With keep18/add18 the Dirichlet row masking + unit diagonal fuse into
+    the kernel's output write (no extra pass over the matrix)."""
+    if interpret is None:
+        interpret = INTERPRET_FUSED
+    e, dmax, npad, n = block or _EF_LHS, lctx.dmax, lctx.npad, lctx.num_node
     nb = -(-n // e)
     num_planes = len(lctx.offsets)
     state = _fused_state_rows(lctx, [wa_t[:3]], nb, e)
+    f32 = jnp.float32
+    if keep18 is None:
+        keep18 = jnp.ones((18, n), f32)
+    if add18 is None:
+        add18 = jnp.zeros((18, n), f32)
+    ka = jnp.zeros((48, nb * e), f32)
+    ka = jax.lax.dynamic_update_slice(ka, keep18.astype(f32), (0, 0))
+    ka = jax.lax.dynamic_update_slice(ka, add18.astype(f32), (24, 0))
     args = dict(
         rho=float(phys.rho), mu=float(phys.mu),
         f1=float(scheme.fact_dw), f2=float(scheme.fact_w),
         dt=float(scheme.dt),
     )
     kern = _partial(
-        _lhs_fused_kernel, args=args, e=e, dmax=dmax, npad=npad,
+        _lhs_fused_kernel, args=args, e=e, dmax=dmax,
         deltas=lctx.deltas, plane_tab=lctx.plane_tab,
-        num_planes=num_planes,
+        num_planes=num_planes, d0=lctx.offsets.index(0),
     )
     nrow = num_planes * 18
     r8 = -(-nrow // 8) * 8
@@ -600,17 +688,22 @@ def jacobian_fused(
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((r8, e), lambda k: (0, k)),
         scratch_shapes=[
-            pltpu.VMEM((8, e + 2 * dmax), jnp.float32),
-            pltpu.VMEM((2, 16, e + dmax), jnp.float32),
-            pltpu.VMEM((27, e + dmax), jnp.float32),
+            pltpu.VMEM((8, e + dmax), jnp.float32),
+            pltpu.VMEM((2, 16, e), jnp.float32),
+            pltpu.VMEM((27, e), jnp.float32),
+            pltpu.VMEM((r8, e + dmax), jnp.float32),
+            pltpu.VMEM((48, e), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
+            vmem_limit_bytes=110 * 1024 * 1024
         ),
-    )(state, lctx.lhs_geom.astype(jnp.float32))
+        interpret=interpret,
+    )(state, lctx.lhs_geom.astype(jnp.float32), ka)
     return out[:nrow, :n].reshape(num_planes, 18, n)

@@ -4,8 +4,16 @@ The XLA formulation of FSDIAMatrixT.matvec_t (15 shifted slices of x, 270
 multiply-accumulate rows) runs at ~90-150 GB/s effective on v5e because
 the single mega-fusion juggles ~300 input streams. This kernel streams
 the matrix data once (the unavoidable traffic) and keeps a haloed window
-of x in VMEM, hitting ~1.5 GB effective traffic per matvec at near-stream
-bandwidth: measured 0.82 ms vs 2.2-3.1 ms for the XLA variants at 1M tets.
+of x in VMEM.
+
+Full-sublane formulation (round 3): the first version accumulated 270
+separate (1, E) row products - 1/8 sublane occupancy and ~17k vector-op
+issues per lane block, which capped it at ~0.9 ms / 220 GB/s effective.
+Here x is pre-expanded to the 18 packed-component rows (xe[c] =
+x[colcomp(c)]), so each DIA plane contributes ONE dense (18, E)
+fused-multiply-add against an 18-row slice of the plane data, and the 6
+output rows come from a final row-group reduction. ~8x fewer vector-op
+issues for identical arithmetic.
 
 Replaces the reference's per-submatrix cuSPARSE SpMV grid
 (MatrixFSAMVPBY, matrix.c:471-497) on lattice meshes.
@@ -17,52 +25,38 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from dedflow_tpu.sparse.fsbsr import PHIPHI, PP, PU, TT, UP, UU
+from dedflow_tpu.sparse.fsbsr import COMP_SLOTS, PHIPHI, PP, PU, TT, UP, UU
 
-_E = 4096  # lanes (rows of the matrix) per grid step
+_E = 8192  # lanes (rows of the matrix) per grid step
+
+# packed component -> column (x) component it multiplies
+_COL_OF_COMP = np.array([bj for _, _, bj in COMP_SLOTS])  # (18,)
+# packed component -> row (y) component it accumulates into
+_ROW_OF_COMP = np.array([bi for _, bi, _ in COMP_SLOTS])  # (18,)
 
 
-def _mv_kernel(xpad_hbm, d_ref, o_ref, *, offsets, dpad, e):
-    k = pl.program_id(0)  # hoisted: interpret mode forbids it in run_scoped
-
-    def body(win, sem):
-        dma = pltpu.make_async_copy(
-            xpad_hbm.at[:, pl.ds(k * e, e + 2 * dpad)], win, sem
-        )
-        dma.start()
-        dma.wait()
-        acc = [jnp.zeros((1, e), jnp.float32) for _ in range(6)]
-        for kk, o in enumerate(offsets):
-            s = dpad + o
-            xs = [win[j : j + 1, s : s + e] for j in range(6)]
-            c = lambda comp, kk=kk: d_ref[kk * 18 + comp : kk * 18 + comp + 1, :]
-            for i in range(3):
-                acc[i] = (
-                    acc[i]
-                    + c(UU(i, 0)) * xs[0]
-                    + c(UU(i, 1)) * xs[1]
-                    + c(UU(i, 2)) * xs[2]
-                    + c(UP(i)) * xs[3]
-                )
-            acc[3] = (
-                acc[3]
-                + c(PU(0)) * xs[0]
-                + c(PU(1)) * xs[1]
-                + c(PU(2)) * xs[2]
-                + c(PP) * xs[3]
-            )
-            acc[4] = acc[4] + c(PHIPHI) * xs[4]
-            acc[5] = acc[5] + c(TT) * xs[5]
-        o_ref[:, :] = jnp.concatenate(acc, axis=0)
-
-    pl.run_scoped(
-        body,
-        win=pltpu.VMEM((8, e + 2 * dpad), jnp.float32),
-        sem=pltpu.SemaphoreType.DMA(()),
+def _mv_kernel(xe_hbm, d_ref, o_ref, win, sem, *, offsets, dpad, e):
+    k = pl.program_id(0)
+    dma = pltpu.make_async_copy(
+        xe_hbm.at[:, pl.ds(k * e, e + 2 * dpad)], win, sem
     )
+    dma.start()
+    dma.wait()
+    acc = jnp.zeros((18, e), jnp.float32)
+    for kk, o in enumerate(offsets):
+        s = dpad + o
+        acc = acc + d_ref[kk] * win[:18, s : s + e]
+    rows = [None] * 6
+    for c in range(18):
+        r = int(_ROW_OF_COMP[c])
+        term = acc[c : c + 1, :]
+        rows[r] = term if rows[r] is None else rows[r] + term
+    o_ref[0:6, :] = jnp.concatenate(rows, axis=0)
+    o_ref[6:8, :] = jnp.zeros((2, e), jnp.float32)
 
 
 def dia_matvec_pallas(
@@ -76,21 +70,28 @@ def dia_matvec_pallas(
     dmax = max(max(abs(o) for o in offsets), 1)
     dpad = (dmax + 127) // 128 * 128
     npad = (n + _E - 1) // _E * _E
-    # 8 sublanes: Mosaic DMA slices must be sublane-tile aligned.
-    xpad = jnp.pad(x_t, ((0, 2), (dpad, dpad + npad - n)))
-    dmat = data.reshape(d * 18, n)
-    if npad != n:
-        dmat = jnp.pad(dmat, ((0, 0), (0, npad - n)))
+    # x expanded to packed-component rows: xe[c] = x[col(c)]; padded to 24
+    # rows (sublane tile) and haloed lanes so every plane slice is a
+    # static in-range window.
+    xe = x_t[jnp.asarray(_COL_OF_COMP)]
+    xe = jnp.pad(xe, ((0, 6), (dpad, dpad + npad - n)))
+    dmat = data if npad == n else jnp.pad(data, ((0, 0), (0, 0), (0, npad - n)))
     kern = functools.partial(_mv_kernel, offsets=offsets, dpad=dpad, e=_E)
     out = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((6, npad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((8, npad), jnp.float32),
         grid=(npad // _E,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((d * 18, _E), lambda k: (0, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (d, 18, _E), lambda k: (0, 0, k), memory_space=pltpu.VMEM
+            ),
         ],
-        out_specs=pl.BlockSpec((6, _E), lambda k: (0, k), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((8, _E), lambda k: (0, k)),
+        scratch_shapes=[
+            pltpu.VMEM((24, _E + 2 * dpad), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
         interpret=interpret,
-    )(xpad, dmat)
-    return out[:, :n]
+    )(xe, dmat)
+    return out[:6, :n]

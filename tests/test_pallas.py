@@ -109,6 +109,70 @@ def test_fused_residual_kernel_interpret_matches_xla():
     )
 
 
+def test_fused_carry_kernels_multiblock_interpret():
+    """The sequential-grid carry accumulator: with a lane block smaller
+    than the mesh (nb > 1), contributions crossing block boundaries ride
+    the carry buffer. Residual AND Jacobian vs the XLA pipeline."""
+    import numpy as np
+
+    from dedflow_tpu.app.scenarios import (
+        reference_initial_state,
+        reference_scenario_config,
+    )
+    from dedflow_tpu.fem import ns
+    from dedflow_tpu.fem import pallas_kernels as pk
+    from dedflow_tpu.fem.lattice import (
+        _lhs_inputs,
+        _reduce_lhs_planes,
+        _reduce_residual,
+        _residual_inputs,
+        build_lattice_context,
+        jacobian_fused,
+        residual_fused,
+    )
+    from dedflow_tpu.mesh.gen import box_mesh
+
+    cfg = reference_scenario_config()
+    mesh = box_mesh(7, 7, 7)  # 512 nodes; block=128 -> 4 blocks
+    lctx = build_lattice_context(mesh, dtype=jnp.float32, rows_backend="xla")
+    rng = np.random.default_rng(3)
+    wg, dwgold, dwg = (
+        jnp.asarray(x, jnp.float32) for x in reference_initial_state(mesh)
+    )
+    dwg = dwg + 0.1 * jnp.asarray(rng.normal(size=dwg.shape), jnp.float32)
+    wa, dwa = ns.alpha_states(wg, dwgold, dwg, cfg.time)
+
+    f_ref = _reduce_residual(
+        lctx,
+        pk.res_rows_call(
+            _residual_inputs(lctx, wa.T, dwa.T, None),
+            cfg.physics, cfg.time, backend="xla",
+        ).astype(jnp.float32),
+    )
+    f_int = residual_fused(
+        lctx, wa.T, dwa.T, None, cfg.physics, cfg.time, interpret=True,
+        block=128,
+    )
+    np.testing.assert_allclose(
+        np.asarray(f_int), np.asarray(f_ref), rtol=2e-5, atol=1e-6
+    )
+
+    j_ref = jnp.stack(
+        _reduce_lhs_planes(
+            lctx,
+            pk.lhs_rows_call(
+                _lhs_inputs(lctx, wa.T), cfg.physics, cfg.time, backend="xla"
+            ),
+        )
+    )
+    j_int = jacobian_fused(
+        lctx, wa.T, cfg.physics, cfg.time, interpret=True, block=128
+    )
+    np.testing.assert_allclose(
+        np.asarray(j_int), np.asarray(j_ref), rtol=2e-5, atol=1e-6
+    )
+
+
 def test_dia_spmv_kernel_interpret_matches_xla():
     """The halo-window DIA SpMV kernel == the shifted-slice XLA matvec,
     interpret mode on CPU."""
