@@ -93,6 +93,16 @@ def build_argparser() -> argparse.ArgumentParser:
         default=None,
         help="use the fully-jitted fixed-iteration step (no convergence check)",
     )
+    p.add_argument(
+        "--precision",
+        choices=["state", "f64", "ir"],
+        default=None,
+        help="linear-solve precision (config.KrylovConfig.precision): "
+        "state = solve in the state dtype (fast f32 path on TPU); "
+        "f64 = full f64 Krylov (XLA-emulated on TPU; the reference "
+        "regime, common.h:21-59); ir = f32 GMRES + f64 iterative "
+        "refinement to <=1e-10 relative linear residuals",
+    )
     return p
 
 
@@ -114,6 +124,10 @@ def main(argv=None) -> int:
             jax.config.update("jax_platforms", name)
         except Exception:
             pass
+
+    if args.precision in ("f64", "ir"):
+        # f64 leaves require x64 before any array is created
+        jax.config.update("jax_enable_x64", True)
 
     import jax.numpy as jnp
 
@@ -181,9 +195,17 @@ def main(argv=None) -> int:
         cfg = dataclasses.replace(
             cfg, krylov=dataclasses.replace(cfg.krylov, pc=args.pc)
         )
+    if args.precision:
+        cfg = dataclasses.replace(
+            cfg, krylov=dataclasses.replace(cfg.krylov, precision=args.precision)
+        )
     dtype = None
     if args.dtype:
         dtype = jnp.float32 if args.dtype == "f32" else jnp.float64
+    elif args.precision == "ir":
+        # ir = f32 state/assembly + f64 refinement; x64 being enabled must
+        # not silently promote the whole run to f64
+        dtype = jnp.float32
 
     # --- solver (single-chip or domain-decomposed; optionally coupled)
     sharded = args.devices > 1
@@ -278,6 +300,12 @@ def main(argv=None) -> int:
                 if stats.rnorms:
                     rec["rnorm"] = [float(v) for v in stats.rnorms[-1]]
                 rec["krylov_iters"] = stats.krylov_iters
+                if getattr(stats, "linear_rels", None):
+                    # relative linear residual of each Krylov solve (the
+                    # 1e-10 bar with --precision ir/f64, BASELINE.md)
+                    rec["linear_rel"] = [
+                        float(v) for v in stats.linear_rels
+                    ]
             metrics.write(**rec)
             # failure detection the reference lacks (SURVEY.md section 5):
             # a diverged/NaN state is caught at the step boundary instead

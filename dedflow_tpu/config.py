@@ -117,6 +117,22 @@ class KrylovConfig:
     # damped-Jacobi sweeps of the approximate Schur solve (pc="simple")
     pc_schur_sweeps: int = 6
     pc_schur_omega: float = 0.8
+    # Linear-solve precision (the reference is f64 end to end,
+    # common.h:21-59):
+    #   "state" - solve in the state dtype (f32 TPU fast path; f64 when
+    #             the run itself is f64) - round-1/2 behavior;
+    #   "f64"   - force the whole Krylov solve to f64 (XLA-emulated on
+    #             TPU) regardless of state dtype;
+    #   "ir"    - mixed-precision iterative refinement: f32 GMRES inner
+    #             solves + f64 residual/axpy (solver.refine), reaching
+    #             <=1e-10 relative linear residuals at near-f32 cost.
+    # "f64"/"ir" require jax_enable_x64 (the CLI --precision flag sets it).
+    precision: str = "state"
+    # iterative-refinement outer controls (precision="ir"): outer cycles
+    # cap and the f32 inner-solve relative tolerance
+    ir_cycles: int = 10
+    ir_tol: float = 1e-10
+    ir_inner_rtol: float = 1e-6
 
 
 @dataclass(frozen=True)

@@ -238,7 +238,7 @@ class ShardedNSSolver:
         f = self.residual(wgold, dwgold, dwg, source, nodal_force)
         rnorm0 = np.asarray(self.solver._norms(f)) + 1e-16
         for _ in range(ncfg.max_iter):
-            dwg, f, rn, _ = self._newton_iter(
+            dwg, f, rn, _, _ = self._newton_iter(
                 self.ctx, self.face_ctxs, self.mask, wgold, dwgold, dwg, f,
                 source=source, nodal_force=nodal_force,
             )

@@ -121,6 +121,13 @@ def dia_matvec_ppermute(device_mesh: DeviceMesh, axis: str, offsets: tuple):
     def kernel(data_l, x_l):
         # data_l (D, 18, L), x_l (6, L) local rows
         l = x_l.shape[1]
+        if dmax > l:
+            raise ValueError(
+                f"dia_matvec_ppermute requires max|offset| ({dmax}) <= "
+                f"local rows per shard ({l}): the 2-ppermute halo only "
+                "covers the immediate ring neighbors. Use fewer shards "
+                "or the all-gather fallback (fsbsr_matvec_shardmap)."
+            )
         idx = jax.lax.axis_index(axis)
         # halo from the LEFT neighbor (its last dmax rows) ...
         from_left = jax.lax.ppermute(

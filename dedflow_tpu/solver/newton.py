@@ -102,7 +102,96 @@ def assemble_system(
         return jmat, SIMPLEPC.from_matrix(
             jmat, sweeps=pc_sweeps, omega=pc_omega
         )
+    if pc_type == "simple":
+        # e.g. lattice-offsets + grouped scatter with use_lattice="off"
+        # yields an FSDIAMatrix without the component-restricted matvecs
+        import warnings
+
+        warnings.warn(
+            f"krylov.pc='simple' cannot be honored: {type(jmat).__name__} "
+            "has no component-restricted matvecs; falling back to the "
+            "fieldsplit (block-Jacobi) preconditioner",
+            stacklevel=2,
+        )
     return jmat, NSFieldSplitPC.from_matrix(jmat)
+
+
+def _cast_operator(jmat, dtype):
+    """Cast a field-split matrix's float data to `dtype`. Pallas-backed
+    DIA matrices fall back to the dtype-generic XLA matvec (the fused
+    kernel is f32-only)."""
+    import dataclasses as _dc
+
+    cast = lambda a: (
+        a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a
+    )
+    if hasattr(jmat, "backend"):
+        return _dc.replace(jmat, data=cast(jmat.data), backend="xla")
+    return jax.tree_util.tree_map(cast, jmat)
+
+
+def _solve_linear(jmat, pc, f, kcfg, lat):
+    """Right-preconditioned solve of J dx = F honoring kcfg.precision.
+    Returns (dx, iters, rel_residual)."""
+    mv = jmat.matvec_t if lat else jmat.matvec
+    prec = getattr(kcfg, "precision", "state")
+    if prec in ("f64", "ir") and f.dtype != jnp.float64:
+        if not jax.config.jax_enable_x64:
+            raise ValueError(
+                f"krylov.precision={prec!r} requires jax_enable_x64 "
+                "(the CLI --precision flag sets it at startup)"
+            )
+    if prec == "f64" and f.dtype != jnp.float64:
+        m64 = _cast_operator(jmat, jnp.float64)
+        pc64 = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.float64)
+            if jnp.issubdtype(a.dtype, jnp.floating)
+            else a,
+            pc,
+        )
+        sol = gmres(
+            m64.matvec_t if lat else m64.matvec,
+            f.astype(jnp.float64),
+            maxit=kcfg.max_iter,
+            atol=kcfg.atol,
+            rtol=kcfg.rtol,
+            pc=pc64,
+            restart=kcfg.restart,
+        )
+        rel = sol.resnorm / jnp.maximum(sol.resnorm0, 1e-300)
+        return sol.x.astype(f.dtype), sol.iters, rel.astype(f.dtype)
+    if prec == "ir":
+        from dedflow_tpu.solver.refine import gmres_ir_device
+
+        m64 = _cast_operator(jmat, jnp.float64) if f.dtype != jnp.float64 else jmat
+        mv_lo = (
+            mv
+            if f.dtype == jnp.float32
+            else (lambda v, _m=_cast_operator(jmat, jnp.float32): (
+                _m.matvec_t(v) if lat else _m.matvec(v)
+            ))
+        )
+        sol = gmres_ir_device(
+            m64.matvec_t if lat else m64.matvec,
+            mv_lo,
+            f.astype(jnp.float64),
+            pc=pc,
+            tol=getattr(kcfg, "ir_tol", 1e-10),
+            max_cycles=getattr(kcfg, "ir_cycles", 10),
+            inner_maxit=kcfg.max_iter,
+            inner_rtol=getattr(kcfg, "ir_inner_rtol", 1e-6),
+        )
+        return (
+            sol.x.astype(f.dtype),
+            sol.inner_iters,
+            sol.rel_residual.astype(f.dtype),
+        )
+    sol = gmres(
+        mv, f, maxit=kcfg.max_iter, atol=kcfg.atol, rtol=kcfg.rtol, pc=pc,
+        restart=kcfg.restart,
+    )
+    rel = sol.resnorm / jnp.maximum(sol.resnorm0, jnp.finfo(f.dtype).tiny)
+    return sol.x, sol.iters, rel
 
 
 def solve_update(
@@ -112,22 +201,14 @@ def solve_update(
 ):
     """GMRES(J) dx = F; dwg -= dx; reassemble F (main.c:211-265)."""
     lat = isinstance(ctx, LatticeContext)
-    sol = gmres(
-        jmat.matvec_t if lat else jmat.matvec,
-        f,
-        maxit=kcfg.max_iter,
-        atol=kcfg.atol,
-        rtol=kcfg.rtol,
-        pc=pc,
-        restart=kcfg.restart,
-    )
-    dwg = dwg - (sol.x.T if lat else sol.x)  # main.c:226
+    dx, iters, _lin_rel = _solve_linear(jmat, pc, f, kcfg, lat)
+    dwg = dwg - (dx.T if lat else dx)  # main.c:226
     f = residual(
         ctx, face_ctxs, mask, wgold, dwgold, dwg, phys, scheme, freeze, chunk,
         source, nodal_force, scatter_method, elements_kernel,
     )
     norms = field_norms_t(f) if lat else ns.field_norms(f)
-    return dwg, f, norms, sol.iters
+    return dwg, f, norms, iters, _lin_rel
 
 
 def newton_iter(
@@ -138,7 +219,7 @@ def newton_iter(
 ):
     """One Newton iteration (main.c:157-279 body): assemble J, solve
     GMRES(J) dx = F, update dwg, reassemble F. Returns
-    (dwg, f, field_norms, krylov_iters)."""
+    (dwg, f, field_norms, krylov_iters, linear_rel_residual)."""
     jmat, pc = assemble_system(
         ctx, face_ctxs, mask, wgold, dwgold, dwg, phys, scheme, chunk,
         scatter_method, scalar_implicit, elements_kernel, pc_type,
@@ -208,7 +289,7 @@ def step_fixed(
 
         def body(_, carry):
             dwg, f = carry
-            dwg, f, _, _ = solve_update(
+            dwg, f, _, _, _ = solve_update(
                 ctx, face_ctxs, mask, jmat, pc, wgold, dwgold, dwg, f, phys,
                 scheme, kcfg, freeze, chunk, source, nodal_force, scatter_method,
                 elements_kernel,
@@ -219,7 +300,7 @@ def step_fixed(
 
         def body(_, carry):
             dwg, f = carry
-            dwg, f, _, _ = newton_iter(
+            dwg, f, _, _, _ = newton_iter(
                 ctx, face_ctxs, mask, wgold, dwgold, dwg, f, phys, scheme, kcfg,
                 freeze, chunk, scatter_method, scalar_implicit, source,
                 elements_kernel, nodal_force, pc_type, pc_sweeps, pc_omega,
@@ -240,6 +321,9 @@ class NewtonStats:
     rnorms: list  # list of (4,) per iteration
     krylov_iters: list
     converged: bool
+    # relative LINEAR residual ||F - J dx|| / ||F|| of each Krylov solve
+    # (estimated for plain GMRES; true f64 residual for precision='ir')
+    linear_rels: list = None
 
 
 class NSSolver:
@@ -388,7 +472,10 @@ class NSSolver:
             nodal_force=nodal_force,
         )
         rnorm0 = np.asarray(self._norms(f)) + 1e-16  # main.c:152-155
-        stats = NewtonStats(rnorm0=rnorm0, rnorms=[], krylov_iters=[], converged=False)
+        stats = NewtonStats(
+            rnorm0=rnorm0, rnorms=[], krylov_iters=[], converged=False,
+            linear_rels=[],
+        )
         lagged = None
         if ncfg.lag_jacobian:
             lagged = self._assemble_system(
@@ -396,18 +483,19 @@ class NSSolver:
             )
         for _ in range(ncfg.max_iter):
             if lagged is not None:
-                dwg, f, rn, kit = self._solve_update(
+                dwg, f, rn, kit, lrel = self._solve_update(
                     self.solve_ctx, self.face_ctxs, self.mask, lagged[0], lagged[1],
                     wgold, dwgold, dwg, f, source=source, nodal_force=nodal_force,
                 )
             else:
-                dwg, f, rn, kit = self._newton_iter(
+                dwg, f, rn, kit, lrel = self._newton_iter(
                     self.solve_ctx, self.face_ctxs, self.mask, wgold, dwgold, dwg, f,
                     source=source, nodal_force=nodal_force,
                 )
             rn = np.asarray(rn)
             stats.rnorms.append(rn)
             stats.krylov_iters.append(int(kit))
+            stats.linear_rels.append(float(lrel))
             if ((rn < ncfg.rtol * rnorm0) | (rn < ncfg.atol)).all():  # main.c:271-276
                 stats.converged = True
                 break

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from typing import Callable, NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from dedflow_tpu.solver.krylov import gmres
@@ -32,6 +33,60 @@ class RefineInfo(NamedTuple):
     rel_residual: float  # final ||b - Ax|| / ||b||
     cycles: int
     inner_iters: int
+
+
+class RefineDeviceInfo(NamedTuple):
+    x: jnp.ndarray  # f64 solution
+    rel_residual: jnp.ndarray  # final ||b - Ax|| / ||b|| (traced scalar)
+    cycles: jnp.ndarray
+    inner_iters: jnp.ndarray
+
+
+def gmres_ir_device(
+    matvec_hi: Callable,  # f64 operator
+    matvec_lo: Callable,  # f32 operator (same matrix, lower precision)
+    b: jnp.ndarray,  # f64 right-hand side
+    *,
+    pc: Callable | None = None,  # f32 preconditioner
+    tol: float = 1e-10,
+    max_cycles: int = 10,
+    inner_maxit: int = 120,
+    inner_rtol: float = 1e-6,
+) -> RefineDeviceInfo:
+    """Jit-compatible iterative refinement: the outer loop is a
+    lax.while_loop (zero host syncs), so a whole Newton update can run
+    refined inside one jitted call (solver.newton, krylov.precision='ir').
+    Same algorithm as gmres_ir (the host-stepped tool variant)."""
+    bnorm = jnp.linalg.norm(b.reshape(-1))
+    eps = jnp.asarray(jnp.finfo(b.dtype).tiny, b.dtype)
+    f32 = jnp.float32
+
+    def cond(carry):
+        x, cyc, rel, it = carry
+        return jnp.logical_and(rel > tol, cyc < max_cycles)
+
+    def body(carry):
+        x, cyc, rel, it = carry
+        r = b - matvec_hi(x)
+        sol = gmres(
+            matvec_lo, r.astype(f32), maxit=inner_maxit, atol=0.0,
+            rtol=inner_rtol, pc=pc,
+        )
+        x = x + sol.x.astype(b.dtype)
+        rel2 = jnp.linalg.norm((b - matvec_hi(x)).reshape(-1)) / jnp.maximum(
+            bnorm, eps
+        )
+        return x, cyc + 1, rel2, it + sol.iters
+
+    rel0 = jnp.where(bnorm > 0, jnp.ones((), b.dtype), jnp.zeros((), b.dtype))
+    x, cycles, rel, iters = jax.lax.while_loop(
+        cond,
+        body,
+        (jnp.zeros_like(b), jnp.int32(0), rel0, jnp.int32(0)),
+    )
+    return RefineDeviceInfo(
+        x=x, rel_residual=rel, cycles=cycles, inner_iters=iters
+    )
 
 
 def gmres_ir(
