@@ -85,10 +85,16 @@ class LatticeContext:
     offsets: tuple = field(metadata=dict(static=True))  # DIA column offsets
     plane_tab: tuple = field(metadata=dict(static=True))  # (6, 4, 4) -> plane
     rows_backend: str = field(metadata=dict(static=True))  # pallas | xla
+    # multi-chip: (jax.sharding.Mesh, axis_name) for shard_map execution
+    # of the fused kernels over contiguous node slabs. When set, num_node
+    # is the PADDED count (a multiple of nparts * lane block) and the
+    # geometry arrays use the halo-free local layout (column j = cell j).
+    shard: tuple | None = field(default=None, metadata=dict(static=True))
+    num_node_real: int = field(default=0, metadata=dict(static=True))
 
     @property
     def num_elem(self) -> int:  # live tets (for flop accounting)
-        return 6 * self.num_node
+        return 6 * (self.num_node_real or self.num_node)
 
 
 def _lattice_tables(nx: int, ny: int, nz: int):
@@ -112,9 +118,20 @@ def _lattice_tables(nx: int, ny: int, nz: int):
 
 
 def build_lattice_context(
-    mesh: Mesh, dtype=None, rows_backend: str | None = None
+    mesh: Mesh,
+    dtype=None,
+    rows_backend: str | None = None,
+    num_node_pad: int | None = None,
+    shard: tuple | None = None,  # (jax.sharding.Mesh, axis_name)
 ) -> LatticeContext:
-    """Build from a box mesh carrying `mesh.lattice = (nx, ny, nz)`."""
+    """Build from a box mesh carrying `mesh.lattice = (nx, ny, nz)`.
+
+    `num_node_pad` extends the node space with dead rows (multi-chip: a
+    multiple of nparts * lane block); padded cells are degenerate, padded
+    rows are handled like the RCB path's padding nodes (masked, unit
+    diagonal). With `shard`, the geometry arrays use the halo-free local
+    layout (column j = cell j, width exactly num_node_pad) consumed by
+    the shard_map kernels."""
     assert mesh.lattice is not None, "mesh has no lattice metadata"
     nx, ny, nz = mesh.lattice
     if dtype is None:
@@ -124,30 +141,33 @@ def build_lattice_context(
     sy, sz, deltas, offs, plane_tab = _lattice_tables(nx, ny, nz)
     n = mesh.num_node
     assert n == (nx + 1) * (ny + 1) * (nz + 1)
+    ntot = num_node_pad or n
+    assert ntot >= n
     # front-pad depth: covers the largest vertex offset 1 + Sy + Sz,
     # rounded to the 128-lane tile so fused-kernel DMA windows (which
     # start at block-aligned lane offsets) stay tile-aligned
     dmax = -(-(1 + sy + sz) // 128) * 128
 
-    # live-cell mask over the padded cell lattice
-    cells = np.arange(n, dtype=np.int64)
+    # live-cell mask over the padded cell lattice (cells >= n have
+    # iz > nz, hence dead automatically; forced here for clarity)
+    cells = np.arange(ntot, dtype=np.int64)
     ix = cells % sy
     iy = (cells // sy) % (ny + 1)
     iz = cells // sz
-    live = (ix < nx) & (iy < ny) & (iz < nz)
+    live = (ix < nx) & (iy < ny) & (iz < nz) & (cells < n)
 
     # Slab width, satisfying every consumer with dead (zero-geometry)
     # alignment columns:
     # - multiple of the element-block size pk._E (no pad/unpad copies of
     #   the ~GB-scale unfused operands; measured ~4 ms at 1M tets),
-    # - >= n + dmax (the live cells + front pad fit),
-    # - >= ceil(n/EF)*EF for the fused-kernel block sizes EF, so the last
-    #   block's geometry window bleeds at most dmax columns into the next
-    #   slab - exactly its DEAD front region (zero contributions).
+    # - >= ntot + dmax (the live cells + front pad fit),
+    # - >= ceil(ntot/EF)*EF for the fused-kernel block sizes EF, so the
+    #   last block's geometry window bleeds at most dmax columns into the
+    #   next slab - exactly its DEAD front region (zero contributions).
     npad = max(
-        -(-(n + dmax) // pk._E) * pk._E,
-        -(-n // _EF_RES) * _EF_RES,
-        -(-n // _EF_LHS) * _EF_LHS,
+        -(-(ntot + dmax) // pk._E) * pk._E,
+        -(-ntot // _EF_RES) * _EF_RES,
+        -(-ntot // _EF_LHS) * _EF_LHS,
     )
 
     xg = jnp.asarray(mesh.xg, dtype=dtype)
@@ -158,23 +178,31 @@ def build_lattice_context(
         geom = tet_geometry(xg[jnp.asarray(idx)])
         lr = pk.lhs_geom_rows(geom.shgrad, geom.det_j, geom.metric)
         rr = pk.res_geom_rows(geom.shgrad, geom.det_j, geom.metric)
-        lhs_rows.append(jnp.pad(lr, ((0, 0), (dmax, npad - n - dmax))))
-        res_rows.append(jnp.pad(rr, ((0, 0), (dmax, npad - n - dmax))))
+        if shard is not None:
+            # local layout: column j = cell j, width exactly ntot
+            lhs_rows.append(lr)
+            res_rows.append(rr)
+        else:
+            lhs_rows.append(jnp.pad(lr, ((0, 0), (dmax, npad - ntot - dmax))))
+            res_rows.append(jnp.pad(rr, ((0, 0), (dmax, npad - ntot - dmax))))
     # stack slab-major with 8-sublane row padding (15 -> 16, 19 -> 24)
-    # and a dmax dead tail per slab for the fused-kernel windows
+    # and (single-chip) a dmax dead tail per slab for the fused windows
+    tail_pad = 0 if shard is not None else dmax
     tail = lambda parts, r8: jnp.stack(
-        [jnp.pad(a, ((0, r8 - a.shape[0]), (0, dmax))) for a in parts]
+        [jnp.pad(a, ((0, r8 - a.shape[0]), (0, tail_pad))) for a in parts]
     )
     return LatticeContext(
         lhs_geom=tail(lhs_rows, 16),
         res_geom=tail(res_rows, 24),
-        num_node=n,
+        num_node=ntot,
         npad=npad,
         dmax=dmax,
         deltas=deltas,
         offsets=offs,
         plane_tab=plane_tab,
         rows_backend=rows_backend,
+        shard=shard,
+        num_node_real=n,
     )
 
 
@@ -314,7 +342,8 @@ def assemble_residual_t(
     dtype-generic unfused pipeline (CPU / f64 / sharded)."""
     src_t = None if source is None else source[None, :]
     if lctx.rows_backend == "pallas":
-        f = residual_fused(
+        fuse = residual_fused_shmap if lctx.shard is not None else residual_fused
+        f = fuse(
             lctx, w_alpha.T, dw_alpha.T, src_t, phys, scheme
         ).astype(w_alpha.dtype)
     else:
@@ -361,9 +390,14 @@ def assemble_jacobian_t(
         # of a full extra pass over the matrix.
         keep_pc = keep_pc_rows(mask_t, jnp.float32)
         add18 = diag_add_rows(mask_t, jnp.float32)
-        data = jacobian_fused(
-            lctx, w_alpha.T, phys, scheme, keep18=keep_pc, add18=add18
-        ).astype(dtype)
+        if lctx.shard is not None:
+            data = jacobian_fused_shmap(
+                lctx, w_alpha.T, phys, scheme, keep_pc, add18
+            ).astype(dtype)
+        else:
+            data = jacobian_fused(
+                lctx, w_alpha.T, phys, scheme, keep18=keep_pc, add18=add18
+            ).astype(dtype)
         for fctx in face_ctxs:
             upd = face_lhs_packed(fctx, w_alpha, dw_alpha, phys, scheme)
             mk = face_dia_band if fctx.mat_slot_idx is not None else face_dia_block
@@ -372,7 +406,8 @@ def assemble_jacobian_t(
             band_keep = jax.lax.slice_in_dim(keep_pc, lo, lo + span, axis=1)
             data = data.at[:, :, lo : lo + span].add(blk * band_keep[None])
         return FSDIAMatrixT(
-            data=data, offsets=lctx.offsets, backend="pallas"
+            data=data, offsets=lctx.offsets, backend="pallas",
+            shard=lctx.shard,
         )
     inp = _lhs_inputs(lctx, w_alpha.T)
     out = pk.lhs_rows_call(inp, phys, scheme, backend=lctx.rows_backend)
@@ -460,29 +495,30 @@ def _carry_shift(acc, k, e, dmax):
 
 
 def _res_fused_kernel(
-    state_hbm, geom_hbm, out_ref, win, gbuf, inp_buf, acc, sem_s, sem_g,
-    *, args, e, dmax, deltas,
+    state_hbm, geom_hbm, out_ref, carry_ref, win, gbuf, inp_buf, acc,
+    sem_s, sem_g,
+    *, args, e, dmax, goff, deltas,
 ):
     k = pl.program_id(0)
     pltpu.make_async_copy(
-        state_hbm.at[:, pl.ds(k * e + dmax, e + dmax)], win, sem_s
+        state_hbm.at[:, pl.ds(k * e, e + dmax)], win, sem_s
     ).start()
     pltpu.make_async_copy(
-        geom_hbm.at[0, :, pl.ds(k * e + dmax, e)], gbuf.at[0], sem_g.at[0]
+        geom_hbm.at[0, :, pl.ds(k * e + goff, e)], gbuf.at[0], sem_g.at[0]
     ).start()
     _carry_shift(acc, k, e, dmax)
     pltpu.make_async_copy(
-        state_hbm.at[:, pl.ds(k * e + dmax, e + dmax)], win, sem_s
+        state_hbm.at[:, pl.ds(k * e, e + dmax)], win, sem_s
     ).wait()
     for t in range(6):
         pltpu.make_async_copy(
-            geom_hbm.at[t, :, pl.ds(k * e + dmax, e)],
+            geom_hbm.at[t, :, pl.ds(k * e + goff, e)],
             gbuf.at[t % 2],
             sem_g.at[t % 2],
         ).wait()
         if t < 5:
             pltpu.make_async_copy(
-                geom_hbm.at[t + 1, :, pl.ds(k * e + dmax, e)],
+                geom_hbm.at[t + 1, :, pl.ds(k * e + goff, e)],
                 gbuf.at[(t + 1) % 2],
                 sem_g.at[(t + 1) % 2],
             ).start()
@@ -502,34 +538,38 @@ def _res_fused_kernel(
             )
     out_ref[0:6, :] = acc[0:6, :e]
     out_ref[6:, :] = jnp.zeros((2, e), jnp.float32)
+    # final-block tail = contributions past the last owned node: the
+    # inter-SHARD halo under shard_map. Constant index_map, so only the
+    # last grid step's value is flushed.
+    carry_ref[:, :] = acc[:, e:]
 
 
 def _lhs_fused_kernel(
-    state_hbm, geom_hbm, ka_hbm, out_ref, win, gbuf, inp_buf, acc, kabuf,
-    sem_s, sem_g, sem_k,
-    *, args, e, dmax, deltas, plane_tab, num_planes, d0,
+    state_hbm, geom_hbm, ka_hbm, out_ref, carry_ref, win, gbuf, inp_buf,
+    acc, kabuf, sem_s, sem_g, sem_k,
+    *, args, e, dmax, goff, deltas, plane_tab, num_planes, d0,
 ):
     k = pl.program_id(0)
     pltpu.make_async_copy(
-        state_hbm.at[:, pl.ds(k * e + dmax, e + dmax)], win, sem_s
+        state_hbm.at[:, pl.ds(k * e, e + dmax)], win, sem_s
     ).start()
     pltpu.make_async_copy(
-        geom_hbm.at[0, :, pl.ds(k * e + dmax, e)], gbuf.at[0], sem_g.at[0]
+        geom_hbm.at[0, :, pl.ds(k * e + goff, e)], gbuf.at[0], sem_g.at[0]
     ).start()
     pltpu.make_async_copy(ka_hbm.at[:, pl.ds(k * e, e)], kabuf, sem_k).start()
     _carry_shift(acc, k, e, dmax)
     pltpu.make_async_copy(
-        state_hbm.at[:, pl.ds(k * e + dmax, e + dmax)], win, sem_s
+        state_hbm.at[:, pl.ds(k * e, e + dmax)], win, sem_s
     ).wait()
     for t in range(6):
         pltpu.make_async_copy(
-            geom_hbm.at[t, :, pl.ds(k * e + dmax, e)],
+            geom_hbm.at[t, :, pl.ds(k * e + goff, e)],
             gbuf.at[t % 2],
             sem_g.at[t % 2],
         ).wait()
         if t < 5:
             pltpu.make_async_copy(
-                geom_hbm.at[t + 1, :, pl.ds(k * e + dmax, e)],
+                geom_hbm.at[t + 1, :, pl.ds(k * e + goff, e)],
                 gbuf.at[(t + 1) % 2],
                 sem_g.at[(t + 1) % 2],
             ).start()
@@ -571,19 +611,72 @@ def _lhs_fused_kernel(
         arows.append(jnp.zeros((pad_rows, e), jnp.float32))
     add_big = jnp.concatenate(arows, axis=0)
     out_ref[:, :] = acc[:, :e] * keep_big + add_big
+    # raw (unmasked) inter-block tail; the shard_map caller re-masks it
+    carry_ref[:, :] = acc[:, e:]
 
 
-def _fused_state_rows(lctx, rows_list, nb, e):
-    """Stack nodal rows (k, N) into the (R8, nb*E + 2*dmax) front-padded
-    f32 window array the fused kernels DMA from (R8 = rows padded to a
-    multiple of 8 sublanes)."""
-    dmax, n = lctx.dmax, lctx.num_node
+def _fused_state_rows(rows_list, width):
+    """Stack nodal rows (k, W0) into the (R8, width) f32 window array the
+    fused kernels DMA from (R8 = rows padded to an 8-sublane multiple);
+    columns [W0, width) read zero."""
     rows = jnp.concatenate([r.astype(jnp.float32) for r in rows_list], axis=0)
     r8 = -(-rows.shape[0] // 8) * 8
-    slen = nb * e + 2 * dmax
     return jnp.pad(
-        rows, ((0, r8 - rows.shape[0]), (dmax, slen - dmax - n))
+        rows, ((0, r8 - rows.shape[0]), (0, width - rows.shape[1]))
     )
+
+
+def _res_state_rows(wa_t, dwa_t, src_t, width):
+    zero = jnp.zeros((1, wa_t.shape[1]), jnp.float32)
+    return _fused_state_rows(
+        [wa_t[:3], dwa_t[:3], dwa_t[3:4], wa_t[4:5], wa_t[5:6],
+         dwa_t[4:5], dwa_t[5:6], zero if src_t is None else src_t],
+        width,
+    )
+
+
+def _res_call(
+    state, geom, deltas, *, e, nb, dmax, goff, phys, scheme, interpret
+):
+    """Run the residual kernel. state (16, nb*e + dmax); geometry windows
+    read at [k*e + goff, +e). Returns ((8, nb*e), (8, dmax) final carry)."""
+    args = dict(
+        rho=float(phys.rho), mu=float(phys.mu), cp=float(phys.cp),
+        kappa=float(phys.kappa),
+        fb=tuple(float(v) for v in phys.body_force), dt=float(scheme.dt),
+    )
+    kern = _partial(
+        _res_fused_kernel, args=args, e=e, dmax=dmax, goff=goff,
+        deltas=deltas,
+    )
+    return pl.pallas_call(
+        kern,
+        out_shape=(
+            jax.ShapeDtypeStruct((8, nb * e), jnp.float32),
+            jax.ShapeDtypeStruct((8, dmax), jnp.float32),
+        ),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec((8, e), lambda k: (0, k)),
+            pl.BlockSpec((8, dmax), lambda k: (0, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((16, e + dmax), jnp.float32),
+            pltpu.VMEM((2, 24, e), jnp.float32),
+            pltpu.VMEM((67, e), jnp.float32),
+            pltpu.VMEM((8, e + dmax), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(state, geom)
 
 
 def residual_fused(
@@ -599,45 +692,14 @@ def residual_fused(
     """(6, N) volume residual via the fused kernel (TPU, f32)."""
     if interpret is None:
         interpret = INTERPRET_FUSED
-    e, dmax, npad, n = block or _EF_RES, lctx.dmax, lctx.npad, lctx.num_node
+    e, dmax, n = block or _EF_RES, lctx.dmax, lctx.num_node
     nb = -(-n // e)
-    zero = jnp.zeros((1, n), jnp.float32)
-    state = _fused_state_rows(
-        lctx,
-        [wa_t[:3], dwa_t[:3], dwa_t[3:4], wa_t[4:5], wa_t[5:6],
-         dwa_t[4:5], dwa_t[5:6], zero if src_t is None else src_t],
-        nb, e,
-    )
-    args = dict(
-        rho=float(phys.rho), mu=float(phys.mu), cp=float(phys.cp),
-        kappa=float(phys.kappa),
-        fb=tuple(float(v) for v in phys.body_force), dt=float(scheme.dt),
-    )
-    kern = _partial(
-        _res_fused_kernel, args=args, e=e, dmax=dmax, deltas=lctx.deltas,
-    )
-    out = pl.pallas_call(
-        kern,
-        out_shape=jax.ShapeDtypeStruct((8, nb * e), jnp.float32),
-        grid=(nb,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec((8, e), lambda k: (0, k)),
-        scratch_shapes=[
-            pltpu.VMEM((16, e + dmax), jnp.float32),
-            pltpu.VMEM((2, 24, e), jnp.float32),
-            pltpu.VMEM((67, e), jnp.float32),
-            pltpu.VMEM((8, e + dmax), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024
-        ),
+    state = _res_state_rows(wa_t, dwa_t, src_t, nb * e + dmax)
+    out, _ = _res_call(
+        state, lctx.res_geom.astype(jnp.float32), lctx.deltas,
+        e=e, nb=nb, dmax=dmax, goff=dmax, phys=phys, scheme=scheme,
         interpret=interpret,
-    )(state, lctx.res_geom.astype(jnp.float32))
+    )
     return out[:6, :n]
 
 
@@ -657,40 +719,68 @@ def jacobian_fused(
     the kernel's output write (no extra pass over the matrix)."""
     if interpret is None:
         interpret = INTERPRET_FUSED
-    e, dmax, npad, n = block or _EF_LHS, lctx.dmax, lctx.npad, lctx.num_node
+    e, dmax, n = block or _EF_LHS, lctx.dmax, lctx.num_node
     nb = -(-n // e)
     num_planes = len(lctx.offsets)
-    state = _fused_state_rows(lctx, [wa_t[:3]], nb, e)
+    nrow = num_planes * 18
+    state = _fused_state_rows([wa_t[:3]], nb * e + dmax)
+    ka = _ka_rows(keep18, add18, n, nb * e)
+    out, _ = _lhs_call(
+        state, lctx.lhs_geom.astype(jnp.float32), ka, lctx.deltas,
+        lctx.plane_tab, num_planes, lctx.offsets.index(0),
+        e=e, nb=nb, dmax=dmax, goff=dmax, phys=phys, scheme=scheme,
+        interpret=interpret,
+    )
+    return out[:nrow, :n].reshape(num_planes, 18, n)
+
+
+def _ka_rows(keep18, add18, n, width):
+    """(48, width) keep/add rows array (keep at rows 0:18, add at 24:42,
+    both 8-row aligned for in-kernel slicing)."""
     f32 = jnp.float32
     if keep18 is None:
         keep18 = jnp.ones((18, n), f32)
     if add18 is None:
         add18 = jnp.zeros((18, n), f32)
-    ka = jnp.zeros((48, nb * e), f32)
+    ka = jnp.zeros((48, width), f32)
     ka = jax.lax.dynamic_update_slice(ka, keep18.astype(f32), (0, 0))
     ka = jax.lax.dynamic_update_slice(ka, add18.astype(f32), (24, 0))
+    return ka
+
+
+def _lhs_call(
+    state, geom, ka, deltas, plane_tab, num_planes, d0,
+    *, e, nb, dmax, goff, phys, scheme, interpret,
+):
+    """Run the Jacobian kernel. state (8, nb*e + dmax); ka (48, nb*e);
+    geometry windows read at [k*e + goff, +e). Returns ((r8, nb*e) DIA
+    rows, (r8, dmax) final UNMASKED carry)."""
     args = dict(
         rho=float(phys.rho), mu=float(phys.mu),
         f1=float(scheme.fact_dw), f2=float(scheme.fact_w),
         dt=float(scheme.dt),
     )
     kern = _partial(
-        _lhs_fused_kernel, args=args, e=e, dmax=dmax,
-        deltas=lctx.deltas, plane_tab=lctx.plane_tab,
-        num_planes=num_planes, d0=lctx.offsets.index(0),
+        _lhs_fused_kernel, args=args, e=e, dmax=dmax, goff=goff,
+        deltas=deltas, plane_tab=plane_tab, num_planes=num_planes, d0=d0,
     )
-    nrow = num_planes * 18
-    r8 = -(-nrow // 8) * 8
-    out = pl.pallas_call(
+    r8 = -(-(num_planes * 18) // 8) * 8
+    return pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((r8, nb * e), jnp.float32),
+        out_shape=(
+            jax.ShapeDtypeStruct((r8, nb * e), jnp.float32),
+            jax.ShapeDtypeStruct((r8, dmax), jnp.float32),
+        ),
         grid=(nb,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((r8, e), lambda k: (0, k)),
+        out_specs=(
+            pl.BlockSpec((r8, e), lambda k: (0, k)),
+            pl.BlockSpec((r8, dmax), lambda k: (0, 0)),
+        ),
         scratch_shapes=[
             pltpu.VMEM((8, e + dmax), jnp.float32),
             pltpu.VMEM((2, 16, e), jnp.float32),
@@ -705,5 +795,148 @@ def jacobian_fused(
             vmem_limit_bytes=110 * 1024 * 1024
         ),
         interpret=interpret,
-    )(state, lctx.lhs_geom.astype(jnp.float32), ka)
-    return out[:nrow, :n].reshape(num_planes, 18, n)
+    )(state, geom, ka)
+
+
+# ---------------------------------------------------------------------------
+# Sharded (shard_map) execution of the fused kernels: the node axis is
+# decomposed into P contiguous slabs of L = N/P lanes (L a multiple of
+# the lane-block size). Each shard runs the SAME carry kernel on its own
+# elements; the kernel's final carry - contributions to the next slab's
+# first dmax nodes - becomes the inter-chip halo, moved with ONE
+# ppermute. The state/ka inputs need the neighbor's leading dmax lanes,
+# a second (6|48, dmax)-band ppermute. No O(N) collective anywhere.
+
+
+def _shard_block(length: int, want: int) -> int:
+    """Largest lane-block <= want that divides `length` (128-multiple)."""
+    for e in range(min(want, length), 127, -128):
+        if length % e == 0:
+            return e
+    raise ValueError(f"no 128-multiple block divides local length {length}")
+
+
+def _band_from_right(x, axis, nparts, width):
+    """Each shard receives the FIRST `width` lanes of its right neighbor
+    (zeros on the last shard)."""
+    band = jax.lax.slice_in_dim(x, 0, width, axis=-1)
+    recv = jax.lax.ppermute(
+        band, axis, [(i, (i - 1) % nparts) for i in range(nparts)]
+    )
+    idx = jax.lax.axis_index(axis)
+    return jnp.where(idx == nparts - 1, jnp.zeros_like(recv), recv)
+
+
+def _carry_from_left(c, axis, nparts):
+    """Each shard receives its LEFT neighbor's final carry (zeros on
+    shard 0)."""
+    recv = jax.lax.ppermute(
+        c, axis, [(i, (i + 1) % nparts) for i in range(nparts)]
+    )
+    idx = jax.lax.axis_index(axis)
+    return jnp.where(idx == 0, jnp.zeros_like(recv), recv)
+
+
+def residual_fused_shmap(
+    lctx: LatticeContext,
+    wa_t: jnp.ndarray,  # (6, N) sharded on the node axis
+    dwa_t: jnp.ndarray,
+    src_t: jnp.ndarray | None,
+    phys: Physics,
+    scheme: TimeScheme,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    if interpret is None:
+        interpret = INTERPRET_FUSED
+    dev_mesh, axis = lctx.shard
+    nparts = int(np.prod(dev_mesh.devices.shape))
+    n, dmax = lctx.num_node, lctx.dmax
+    L = n // nparts
+    e = _shard_block(L, _EF_RES)
+    P = jax.sharding.PartitionSpec
+
+    def local(wa_l, dwa_l, src_l, geom_l):
+        rows = _res_state_rows(wa_l, dwa_l, src_l, L)[:12]
+        band = _band_from_right(rows, axis, nparts, dmax)
+        state = jnp.pad(
+            jnp.concatenate([rows, band], axis=1), ((0, 4), (0, 0))
+        )
+        out, carry = _res_call(
+            state, geom_l, lctx.deltas, e=e, nb=L // e, dmax=dmax, goff=0,
+            phys=phys, scheme=scheme, interpret=interpret,
+        )
+        recv = _carry_from_left(carry, axis, nparts)
+        out = out.at[:, :dmax].add(recv)
+        return out[:6]
+
+    zero = jnp.zeros((1, n), jnp.float32)
+    return jax.shard_map(
+        local,
+        mesh=dev_mesh,
+        in_specs=(
+            P(None, axis), P(None, axis), P(None, axis),
+            P(None, None, axis),
+        ),
+        out_specs=P(None, axis),
+        check_vma=False,
+    )(
+        wa_t.astype(jnp.float32),
+        dwa_t.astype(jnp.float32),
+        zero if src_t is None else src_t.astype(jnp.float32),
+        lctx.res_geom.astype(jnp.float32),
+    )
+
+
+def jacobian_fused_shmap(
+    lctx: LatticeContext,
+    wa_t: jnp.ndarray,  # (6, N) sharded on the node axis
+    phys: Physics,
+    scheme: TimeScheme,
+    keep18: jnp.ndarray,  # (18, N)
+    add18: jnp.ndarray,  # (18, N)
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    if interpret is None:
+        interpret = INTERPRET_FUSED
+    dev_mesh, axis = lctx.shard
+    nparts = int(np.prod(dev_mesh.devices.shape))
+    n, dmax = lctx.num_node, lctx.dmax
+    L = n // nparts
+    e = _shard_block(L, _EF_LHS)
+    num_planes = len(lctx.offsets)
+    nrow = num_planes * 18
+    d0 = lctx.offsets.index(0)
+    P = jax.sharding.PartitionSpec
+
+    def local(wa_l, ka_l, geom_l):
+        rows = wa_l[:3].astype(jnp.float32)
+        band = _band_from_right(rows, axis, nparts, dmax)
+        state = jnp.pad(
+            jnp.concatenate([rows, band], axis=1), ((0, 5), (0, 0))
+        )
+        out, carry = _lhs_call(
+            state, geom_l, ka_l, lctx.deltas, lctx.plane_tab, num_planes,
+            d0, e=e, nb=L // e, dmax=dmax, goff=0, phys=phys,
+            scheme=scheme, interpret=interpret,
+        )
+        # the carried volume rows land on THIS shard's first dmax nodes:
+        # re-apply their keep factors (the kernel masked only local rows)
+        recv = _carry_from_left(carry, axis, nparts)  # (r8, dmax) raw
+        keep_band = jnp.concatenate(
+            [ka_l[0:18, :dmax]] * num_planes
+            + [jnp.zeros((out.shape[0] - nrow, dmax), jnp.float32)],
+            axis=0,
+        )
+        out = out.at[:, :dmax].add(recv * keep_band)
+        return out[:nrow].reshape(num_planes, 18, L)
+
+    ka = _ka_rows(keep18, add18, n, n)
+    return jax.shard_map(
+        local,
+        mesh=dev_mesh,
+        in_specs=(P(None, axis), P(None, axis), P(None, None, axis)),
+        out_specs=P(None, None, axis),
+        check_vma=False,
+    )(
+        wa_t.astype(jnp.float32), ka, lctx.lhs_geom.astype(jnp.float32)
+    )

@@ -110,29 +110,77 @@ class ShardedNSSolver:
 
         # Lattice meshes: the natural node ordering IS a slab domain
         # decomposition (contiguous index ranges = z-slabs), so no RCB
-        # reorder and no padding are needed, and the gather-free lattice
-        # fast path shards directly: every static shifted slice becomes a
-        # GSPMD collective-permute of a boundary band (verified by HLO in
-        # tests/test_sharding.py - no full-vector all-gather of the
-        # state). The Pallas element kernels are single-device programs,
-        # so the sharded context pins the XLA rows backend.
+        # reorder is needed. Two sharded lattice modes:
+        #
+        # - rows_backend "pallas" (TPU, or tests via lattice_backend):
+        #   the fused carry kernels run PER SHARD under shard_map; the
+        #   kernel's final carry is the inter-chip halo (one ppermute)
+        #   and the SpMV runs the fused halo-window kernel per shard with
+        #   2-ppermute boundary bands (fem.lattice *_shmap). The node
+        #   space is padded to nparts * lane-block; padding rows are
+        #   masked unit-diagonal rows like the RCB path's padding nodes.
+        # - rows_backend "xla": the dtype-generic shifted-slice pipeline
+        #   under GSPMD; every static shifted slice becomes a
+        #   collective-permute of a boundary band (HLO-asserted in
+        #   tests/test_sharding.py - no full-vector all-gather).
         self.lattice = (
             mesh.lattice is not None
             and getattr(cfg, "use_lattice", "auto") != "off"
             and cfg.assembly_chunk is None
             and not cfg.implicit_scalars
-            # explicit device_put needs even shards: node count and the
-            # slab-concatenated lane axis must divide by the device count
-            # (falls back to the RCB/GSPMD general path otherwise)
-            and mesh.num_node % num_parts == 0
         )
+        self.pad_nodes = 0
         if self.lattice:
             self.pmesh, self.info = mesh, None
             self.solver = NSSolver(mesh, cfg, dtype=dtype)
             lc = self.solver.lctx
+            self.lattice = lc is not None  # offset-set guard
+        if self.lattice and self.solver.lctx.rows_backend == "pallas":
+            from dedflow_tpu.fem import lattice as lat
+
+            self.dtype = self.solver.dtype
+            n = mesh.num_node
+            block = 1024  # lane block granularity of the padded slabs
+            L = -(-n // (num_parts * block)) * block
+            npd = num_parts * L
+            self.pad_nodes = npd - n
+            lctx = lat.build_lattice_context(
+                mesh,
+                dtype=self.dtype,
+                rows_backend="pallas",
+                num_node_pad=npd,
+                shard=(device_mesh, axis),
+            )
+            lane = NamedSharding(device_mesh, PartitionSpec(None, None, axis))
+            self.ctx = dataclasses.replace(
+                lctx,
+                lhs_geom=jax.device_put(lctx.lhs_geom, lane),
+                res_geom=jax.device_put(lctx.res_geom, lane),
+            )
+            mask = np.asarray(self.solver.mask)
+            mask = np.concatenate(
+                [mask, np.ones((self.pad_nodes, 6), dtype=mask.dtype)]
+            )
+            self.mask = jax.device_put(jnp.asarray(mask), self.sharding)
+            self.face_ctxs = jax.tree_util.tree_map(
+                lambda leaf: jax.device_put(leaf, self.replicated)
+                if hasattr(leaf, "ndim")
+                else leaf,
+                self.solver.face_ctxs,
+            )
+            s = self.solver
+            self._residual = s._residual
+            self._newton_iter = s._newton_iter
+            self._predict = s._predict
+            self._update = s._update
+            self._step_fixed = s._step_fixed
+            return
+        if self.lattice:
             self.lattice = (
-                lc is not None  # offset-set guard
-                and (lc.npad + lc.dmax) % num_parts == 0  # lane shards even
+                mesh.num_node % num_parts == 0
+                and (self.solver.lctx.npad + self.solver.lctx.dmax)
+                % num_parts
+                == 0  # lane shards even
             )
         if self.lattice:
             self.dtype = self.solver.dtype
@@ -198,6 +246,16 @@ class ShardedNSSolver:
         slab decomposition on lattice meshes)."""
         if self.info is not None:
             state = permute_state(self.info, np.asarray(state))
+        elif self.pad_nodes:
+            state = np.concatenate(
+                [
+                    np.asarray(state),
+                    np.zeros(
+                        (self.pad_nodes,) + np.asarray(state).shape[1:],
+                        dtype=np.asarray(state).dtype,
+                    ),
+                ]
+            )
         return jax.device_put(
             jnp.asarray(state, dtype=self.dtype), self.sharding
         )
@@ -206,6 +264,8 @@ class ShardedNSSolver:
         """Sharded state -> host array in the original ordering."""
         if self.info is not None:
             return unpermute_state(self.info, np.asarray(state))
+        if self.pad_nodes:
+            return np.asarray(state)[: -self.pad_nodes]
         return np.asarray(state)
 
     # ------------------------------------------------------------------

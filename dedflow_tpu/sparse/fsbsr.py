@@ -317,6 +317,12 @@ class FSDIAMatrixT:
     # "pallas" = fused halo-window TPU SpMV (sparse.dia_kernels, f32);
     # "xla" = shifted-slice formulation (any dtype / any backend).
     backend: str = dataclass_field(default="xla", metadata=dict(static=True))
+    # (jax.sharding.Mesh, axis): run the Pallas SpMV per-shard under
+    # shard_map with 2-ppermute boundary bands (parallel execution of the
+    # fused kernel; see fem.lattice sharded path)
+    shard: tuple | None = dataclass_field(
+        default=None, metadata=dict(static=True)
+    )
 
     @property
     def num_rows(self) -> int:
@@ -324,6 +330,12 @@ class FSDIAMatrixT:
 
     def matvec_t(self, x_t: jnp.ndarray) -> jnp.ndarray:
         """(6, N) -> (6, N): gather-free SpMV."""
+        if self.backend == "pallas" and self.shard is not None:
+            from dedflow_tpu.sparse.dia_kernels import dia_matvec_pallas_shmap
+
+            return dia_matvec_pallas_shmap(
+                self.data, x_t, self.offsets, self.shard
+            ).astype(x_t.dtype)
         if self.backend == "pallas":
             from dedflow_tpu.sparse.dia_kernels import dia_matvec_pallas
 
@@ -459,7 +471,8 @@ class FSDIAMatrixT:
                 p = p + add18
             planes.append(p)
         return FSDIAMatrixT(
-            data=jnp.stack(planes), offsets=self.offsets, backend=self.backend
+            data=jnp.stack(planes), offsets=self.offsets,
+            backend=self.backend, shard=self.shard,
         )
 
     def zero_rows(self, row_mask: jnp.ndarray, unit_diag: bool = True) -> "FSDIAMatrixT":

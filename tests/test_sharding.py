@@ -259,6 +259,110 @@ def test_ppermute_halo_spmv_matches_and_no_allgather():
     assert "all-gather" not in hlo, "full-vector all_gather in halo SpMV"
 
 
+def test_sharded_fused_kernels_shmap_match_single_chip():
+    """The fused Pallas carry kernels run PER SHARD under shard_map (the
+    kernel's final carry is the inter-chip halo; round-2 VERDICT item 5):
+    residual, Jacobian and the DIA SpMV match the single-chip path, and
+    the sharded Jacobian HLO contains collective-permutes but no O(N)
+    all-gather."""
+    import dataclasses
+    import re
+
+    import jax.numpy as jnp
+
+    from dedflow_tpu.fem import lattice as lat
+    from dedflow_tpu.fem import ns
+    from dedflow_tpu.fem.lattice import (
+        assemble_jacobian_t,
+        assemble_residual_t,
+    )
+
+    mesh = box_mesh(10, 7, 9)
+    cfg = dataclasses.replace(
+        reference_scenario_config(), lattice_backend="pallas"
+    )
+    dmesh = jax.make_mesh((8,), ("dd",))
+    from dedflow_tpu.sparse import dia_kernels as dk
+
+    old = lat.INTERPRET_FUSED
+    lat.INTERPRET_FUSED = dk.INTERPRET = True  # CPU: interpret Mosaic
+    try:
+        sh = ShardedNSSolver(mesh, cfg, dmesh, dtype=jnp.float32)
+        assert sh.lattice and sh.ctx.shard is not None
+        assert sh.pad_nodes > 0  # node space padded to nparts * block
+
+        single = NSSolver(
+            mesh, dataclasses.replace(cfg, lattice_backend="xla"),
+            dtype=jnp.float32,
+        )
+        wg0, dwgold0, dwg0 = reference_initial_state(mesh)
+        wg_s, dwgold_s, dwg_s = (
+            jnp.asarray(x, jnp.float32) for x in (wg0, dwgold0, dwg0)
+        )
+        wa_s, dwa_s = ns.alpha_states(wg_s, dwgold_s, dwg_s, cfg.time)
+        f_ref = assemble_residual_t(
+            single.lctx, single.face_ctxs, single.mask, wa_s, dwa_s,
+            cfg.physics, cfg.time,
+        )
+        j_ref = assemble_jacobian_t(
+            single.lctx, single.face_ctxs, single.mask, wa_s, dwa_s,
+            cfg.physics, cfg.time,
+        )
+
+        state = tuple(sh.shard_state(x) for x in (wg0, dwgold0, dwg0))
+        wa_p, dwa_p = ns.alpha_states(*state, cfg.time)
+        f_sh = assemble_residual_t(
+            sh.ctx, sh.face_ctxs, sh.mask, wa_p, dwa_p,
+            cfg.physics, cfg.time,
+        )
+        n = mesh.num_node
+        scale = float(jnp.abs(f_ref).max()) + 1e-30
+        np.testing.assert_allclose(
+            np.asarray(f_sh[:, :n]) / scale,
+            np.asarray(f_ref) / scale,
+            atol=2e-6,
+        )
+        # padded rows carry nothing
+        assert float(jnp.abs(f_sh[:, n:]).max()) == 0.0
+
+        jfun = jax.jit(
+            lambda ctx, fc, m, wa, dwa: assemble_jacobian_t(
+                ctx, fc, m, wa, dwa, cfg.physics, cfg.time
+            )
+        )
+        comp = jfun.lower(
+            sh.ctx, sh.face_ctxs, sh.mask, wa_p, dwa_p
+        ).compile()
+        j_sh = comp(sh.ctx, sh.face_ctxs, sh.mask, wa_p, dwa_p)
+        jscale = float(jnp.abs(j_ref.data).max()) + 1e-30
+        np.testing.assert_allclose(
+            np.asarray(j_sh.data[:, :, :n]) / jscale,
+            np.asarray(j_ref.data) / jscale,
+            atol=2e-6,
+        )
+        hlo = comp.as_text()
+        assert re.findall(r"collective-permute", hlo)
+        for m in re.finditer(r"= (\w+)\[(\d+),(\d+)\][^\n]*all-gather", hlo):
+            rows, lanes = int(m.group(2)), int(m.group(3))
+            assert rows <= 48 or lanes < n, m.group(0)[:200]
+
+        # sharded Pallas SpMV (2-ppermute boundary bands) == single-chip
+        x_t = jnp.asarray(
+            np.random.RandomState(3).randn(6, j_sh.data.shape[2]),
+            jnp.float32,
+        )
+        y_sh = j_sh.matvec_t(x_t)
+        y_ref = j_ref.matvec_t(x_t[:, :n])
+        yscale = float(jnp.abs(y_ref).max()) + 1e-30
+        np.testing.assert_allclose(
+            np.asarray(y_sh[:, :n]) / yscale,
+            np.asarray(y_ref) / yscale,
+            atol=2e-5,
+        )
+    finally:
+        lat.INTERPRET_FUSED = dk.INTERPRET = old
+
+
 def test_sharded_lattice_step_exact_and_halo_collectives():
     """Lattice meshes shard as contiguous slabs with the gather-free fast
     path: a full sharded step equals single-chip to near machine
