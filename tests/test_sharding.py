@@ -259,6 +259,49 @@ def test_ppermute_halo_spmv_matches_and_no_allgather():
     assert "all-gather" not in hlo, "full-vector all_gather in halo SpMV"
 
 
+def test_rcb_halo_spmv_matches_and_no_allgather():
+    """The GENERAL (RCB/unstructured) sharded ELL SpMV with explicit
+    boundary-band exchange (spmd.fsbsr_matvec_halo): matches the
+    single-device matvec, and the compiled HLO contains ppermutes but no
+    all_gather (round-2 VERDICT item 6 - the previous explicit path
+    all_gathered the full (N, 6) state by design)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from dedflow_tpu.fem import ns
+    from dedflow_tpu.parallel.spmd import fsbsr_matvec_halo
+
+    mesh = box_mesh(5, 4, 6)
+    cfg = dataclasses.replace(reference_scenario_config(), use_lattice="off")
+    dmesh = jax.make_mesh((8,), ("dd",))
+    sh = ShardedNSSolver(mesh, cfg, dmesh)
+    wg0, dwgold0, dwg0 = reference_initial_state(mesh)
+    wg, dwgold, dwg = (sh.shard_state(x) for x in (wg0, dwgold0, dwg0))
+    wa, dwa = ns.alpha_states(wg, dwgold, dwg, cfg.time)
+    jmat = ns.assemble_jacobian(
+        sh.ctx, sh.face_ctxs, sh.mask, wa, dwa, cfg.physics, cfg.time
+    )
+    n_pad = sh.pmesh.num_node
+    rng = np.random.default_rng(1)
+    x_np = rng.normal(size=(n_pad, 6))
+    x = jax.device_put(jnp.asarray(x_np, dtype=sh.dtype), sh.sharding)
+    y_ref = np.asarray(jmat.matvec(x))
+
+    mv = fsbsr_matvec_halo(dmesh, "dd", np.asarray(jmat.ell_col), 8)
+    data_sh = jax.device_put(
+        jmat.data, NamedSharding(dmesh, P("dd"))
+    )
+    mv_c = jax.jit(mv).lower(data_sh, x).compile()
+    y = np.asarray(mv_c(data_sh, x))
+    np.testing.assert_allclose(y, y_ref, rtol=1e-10, atol=1e-12)
+
+    hlo = mv_c.as_text()
+    assert "collective-permute" in hlo, "expected boundary-band ppermutes"
+    assert "all-gather" not in hlo, "O(N) all_gather in RCB halo SpMV"
+
+
 def test_sharded_fused_kernels_shmap_match_single_chip():
     """The fused Pallas carry kernels run PER SHARD under shard_map (the
     kernel's final carry is the inter-chip halo; round-2 VERDICT item 5):
