@@ -49,17 +49,23 @@ class CoupledSolver:
     nodes), so the nodal reaction force and the fluid state share one
     layout and no per-step reordering is needed. Padding elements are
     degenerate and excluded by dem.coupling.locate's det_j > 0 filter.
-    The DEM subsystem itself stays replicated (its cost at 100k particles
-    is far below the fluid solve; BASELINE config #5)."""
+    The grid-resident DEM substep loop also shards (slab-major cell axis
+    under GSPMD, halo bands via collective-permute); only the per-rebuild
+    re-bucketing exchanges particles globally (dem.grid.dem_run_grid)."""
 
     def __init__(self, mesh: Mesh, cfg: SolverConfig, ccfg: CoupledConfig,
                  dtype=None, device_mesh=None):
         self.ccfg = ccfg
         self.sharded = device_mesh is not None
+        self._dem_shard = None
         if self.sharded:
             from dedflow_tpu.parallel.sharded import ShardedNSSolver
 
             self.fluid = ShardedNSSolver(mesh, cfg, device_mesh, dtype=dtype)
+            if ccfg.use_grid:
+                self._dem_shard = (
+                    self.fluid.device_mesh, self.fluid.axis
+                )
             # the coupling needs the unstructured FEMContext (xg/ien/
             # inv_j) - the sharded solver's solve context may be the
             # LatticeContext on lattice meshes; NSSolver always builds the
@@ -104,7 +110,8 @@ class CoupledSolver:
             from dedflow_tpu.dem.grid import dem_run_grid
 
             pstate = dem_run_grid(
-                self.ccfg.dem, pstate, self.ccfg.substeps, ext=f_p
+                self.ccfg.dem, pstate, self.ccfg.substeps, ext=f_p,
+                shard=self._dem_shard,
             )
         else:
             pstate = dem_run(

@@ -281,10 +281,14 @@ def grid_pair_forces_pallas(grid: CellGrid, gs: GridState, prm: ContactParams):
 
 
 def grid_forces(cfg: DEMConfig, gs: GridState, mass: float,
-                ext: tuple | None = None):
+                ext: tuple | None = None, use_pallas: bool | None = None):
     """Total force on the grid: contacts + walls + gravity + drag (+ext)."""
     prm = cfg.contact
-    if jax.default_backend() == "tpu" and gs.mask.dtype == jnp.float32:
+    if use_pallas is None:
+        use_pallas = (
+            jax.default_backend() == "tpu" and gs.mask.dtype == jnp.float32
+        )
+    if use_pallas:
         f = grid_pair_forces_pallas(cfg.grid, gs, prm)
     else:
         f = grid_pair_forces(cfg.grid, gs, prm)
@@ -309,14 +313,15 @@ def grid_forces(cfg: DEMConfig, gs: GridState, mass: float,
     return f
 
 
-@partial(jax.jit, static_argnums=(0, 3))
+@partial(jax.jit, static_argnums=(0, 3, 5))
 def grid_run(cfg: DEMConfig, gs: GridState, mass: float, num_steps: int,
-             ext: tuple | None = None) -> GridState:
+             ext: tuple | None = None,
+             use_pallas: bool | None = None) -> GridState:
     """num_steps semi-implicit Euler substeps on the grid (no re-bucket:
     caller must re-bucket before particles drift across the skin)."""
 
     def body(gs, _):
-        f = grid_forces(cfg, gs, mass, ext)
+        f = grid_forces(cfg, gs, mass, ext, use_pallas)
         vel = tuple(
             gs.vel[c] + (cfg.dt / mass) * f[c] * gs.mask for c in range(3)
         )
@@ -330,25 +335,44 @@ def grid_run(cfg: DEMConfig, gs: GridState, mass: float, num_steps: int,
 
 def dem_run_grid(cfg: DEMConfig, state: ParticleState, num_steps: int,
                  rebuild_every: int = 20,
-                 ext: jnp.ndarray | None = None) -> ParticleState:
+                 ext: jnp.ndarray | None = None,
+                 shard: tuple | None = None) -> ParticleState:
     """Grid-resident DEM driver: rebuild buckets every `rebuild_every`
     substeps, integrate densely in between. Uniform mass assumed (the
     reference hard-codes mass = 1.0, Particle.c:22). `ext` (P, 3) is an
     external per-particle force (e.g. fluid drag), mapped onto the grid at
-    each rebuild."""
+    each rebuild.
+
+    `shard` = (jax.sharding.Mesh, axis): the grid-resident state shards
+    over contiguous slabs of the (slab-major) flat cell axis; the contact
+    sweep's static shifted slices become GSPMD collective-permute halo
+    bands (the same mechanism as the sharded lattice XLA path), so the
+    substep loop communicates only O(slab surface). Re-bucketing (every
+    `rebuild_every` substeps) remains a global exchange by design -
+    particles migrate between slabs there."""
     p = state.num_particle
     mass = float(np.asarray(state.mass)[0])
+    put = None
+    if shard is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        dev_mesh, axis = shard
+        sh_cells = NamedSharding(dev_mesh, PartitionSpec(None, axis))
+        put = lambda a: jax.device_put(a, sh_cells)
     done = 0
     cur = state
     while done < num_steps:
         n = min(rebuild_every, num_steps - done)
         gs = to_grid(cfg.grid, cur, p)
+        if put is not None:
+            gs = jax.tree_util.tree_map(put, gs)
         ext_g = None
         if ext is not None:
             safe = jnp.minimum(gs.pid, p - 1)
             real = (gs.pid < p).astype(gs.mask.dtype)
             ext_g = tuple(ext[:, c][safe] * real for c in range(3))
-        gs = grid_run(cfg, gs, mass, n, ext_g)
+        gs = grid_run(cfg, gs, mass, n, ext_g,
+                      False if shard is not None else None)
         new = from_grid(cfg.grid, gs, p, prev=cur)
         cur = ParticleState(x=new.x, v=new.v, a=new.a, mass=state.mass,
                             radius=state.radius)

@@ -83,6 +83,9 @@ def _dia_call(dmat, xe, offsets, *, e, dpad, interpret):
             pltpu.VMEM((24, e + 2 * dpad), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
     )(xe, dmat)
 
