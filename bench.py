@@ -170,8 +170,9 @@ def bench_assembly_spmv(platform):
     def resid_loop(ctx, face_ctxs, mask, wg, dwgold, dwg):
         def body(_, d):
             fr = resid(ctx, face_ctxs, mask, wg, dwgold, d)
-            fr2 = fr.T if lat else fr
-            return d + 0.0 * fr2
+            # full-dependency scalar carry: no per-rep layout transpose,
+            # and no DCE of any part of the residual
+            return d + 0.0 * jnp.sum(fr)
 
         return resid(
             ctx, face_ctxs, mask, wg, dwgold,
@@ -182,7 +183,7 @@ def bench_assembly_spmv(platform):
         def body(_, d):
             jm = jac(ctx, face_ctxs, mask, wg, dwgold, d)
             leaf = jax.tree_util.tree_leaves(jm)[0]
-            return d + 0.0 * leaf.reshape(-1)[0]
+            return d + 0.0 * jnp.sum(leaf)
 
         return jac(
             ctx, face_ctxs, mask, wg, dwgold,

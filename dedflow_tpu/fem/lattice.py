@@ -383,35 +383,18 @@ def assemble_jacobian_t(
     mask_t = mask.T
     if lctx.rows_backend == "pallas":
         # fused carry-accumulator kernel: element body computed exactly
-        # once, the (6, 288, npad) HBM intermediate never exists, and the
-        # Dirichlet masking + unit diagonal ride the kernel's output
-        # write. Facet contributions then touch ONLY the boundary's
-        # contiguous row band (an in-place dynamic-update-slice), instead
-        # of a full extra pass over the matrix.
-        keep_pc = keep_pc_rows(mask_t, jnp.float32)
-        add18 = diag_add_rows(mask_t, jnp.float32)
+        # once, the (6, 288, npad) HBM intermediate never exists; masking
+        # and facets land in ONE fused XLA pass over the planes below.
         if lctx.shard is not None:
-            data = jacobian_fused_shmap(
-                lctx, w_alpha.T, phys, scheme, keep_pc, add18
-            ).astype(dtype)
+            vol = jacobian_fused_shmap(lctx, w_alpha.T, phys, scheme)
         else:
-            data = jacobian_fused(
-                lctx, w_alpha.T, phys, scheme, keep18=keep_pc, add18=add18
-            ).astype(dtype)
-        for fctx in face_ctxs:
-            upd = face_lhs_packed(fctx, w_alpha, dw_alpha, phys, scheme)
-            mk = face_dia_band if fctx.mat_slot_idx is not None else face_dia_block
-            blk = mk(fctx, upd, num_planes).astype(dtype)
-            lo, span = fctx.dia_row_lo, fctx.dia_row_span
-            band_keep = jax.lax.slice_in_dim(keep_pc, lo, lo + span, axis=1)
-            data = data.at[:, :, lo : lo + span].add(blk * band_keep[None])
-        return FSDIAMatrixT(
-            data=data, offsets=lctx.offsets, backend="pallas",
-            shard=lctx.shard,
-        )
-    inp = _lhs_inputs(lctx, w_alpha.T)
-    out = pk.lhs_rows_call(inp, phys, scheme, backend=lctx.rows_backend)
-    planes = _reduce_lhs_planes(lctx, out.astype(dtype))
+            vol = jacobian_fused(lctx, w_alpha.T, phys, scheme)
+        vol = vol.astype(dtype)
+        planes = [vol[k] for k in range(num_planes)]
+    else:
+        inp = _lhs_inputs(lctx, w_alpha.T)
+        out = pk.lhs_rows_call(inp, phys, scheme, backend=lctx.rows_backend)
+        planes = _reduce_lhs_planes(lctx, out.astype(dtype))
 
     # Facet contributions land in a small dense (D, 18, span) block over
     # the boundary's contiguous row range, added with STATIC slices; the
@@ -444,7 +427,8 @@ def assemble_jacobian_t(
         final.append(p)
     backend = "pallas" if lctx.rows_backend == "pallas" else "xla"
     return FSDIAMatrixT(
-        data=jnp.stack(final), offsets=lctx.offsets, backend=backend
+        data=jnp.stack(final), offsets=lctx.offsets, backend=backend,
+        shard=lctx.shard,
     )
 
 
@@ -545,9 +529,9 @@ def _res_fused_kernel(
 
 
 def _lhs_fused_kernel(
-    state_hbm, geom_hbm, ka_hbm, out_ref, carry_ref, win, gbuf, inp_buf,
-    acc, kabuf, sem_s, sem_g, sem_k,
-    *, args, e, dmax, goff, deltas, plane_tab, num_planes, d0,
+    state_hbm, geom_hbm, out_ref, carry_ref, win, gbuf, inp_buf,
+    acc, sem_s, sem_g,
+    *, args, e, dmax, goff, deltas, plane_tab, num_planes,
 ):
     k = pl.program_id(0)
     pltpu.make_async_copy(
@@ -556,7 +540,6 @@ def _lhs_fused_kernel(
     pltpu.make_async_copy(
         geom_hbm.at[0, :, pl.ds(k * e + goff, e)], gbuf.at[0], sem_g.at[0]
     ).start()
-    pltpu.make_async_copy(ka_hbm.at[:, pl.ds(k * e, e)], kabuf, sem_k).start()
     _carry_shift(acc, k, e, dmax)
     pltpu.make_async_copy(
         state_hbm.at[:, pl.ds(k * e, e + dmax)], win, sem_s
@@ -592,26 +575,11 @@ def _lhs_fused_kernel(
                 acc[sl, da : da + e] = (
                     acc[sl, da : da + e] + upd[s : s + 18, :]
                 )
-    # fused Dirichlet row masking + unit diagonal (dirichlet.c:47-61):
-    # keep/add rows are per packed component, identical for every plane.
-    pltpu.make_async_copy(ka_hbm.at[:, pl.ds(k * e, e)], kabuf, sem_k).wait()
-    keep = kabuf[0:18, :]
-    add = kabuf[24:42, :]
-    rows = []
-    for p in range(num_planes):
-        rows.append(keep)
-    pad_rows = out_ref.shape[0] - num_planes * 18
-    if pad_rows:
-        rows.append(jnp.zeros((pad_rows, e), jnp.float32))
-    keep_big = jnp.concatenate(rows, axis=0)
-    arows = []
-    for p in range(num_planes):
-        arows.append(add if p == d0 else jnp.zeros((18, e), jnp.float32))
-    if pad_rows:
-        arows.append(jnp.zeros((pad_rows, e), jnp.float32))
-    add_big = jnp.concatenate(arows, axis=0)
-    out_ref[:, :] = acc[:, :e] * keep_big + add_big
-    # raw (unmasked) inter-block tail; the shard_map caller re-masks it
+    # NOTE Dirichlet masking is deliberately NOT fused here: building
+    # the per-plane keep/add factors in VMEM costs a (272, E) sublane
+    # concat per block, measured ~5 ms at 1M tets - far more than the
+    # single XLA elementwise pass over the (D, 18, N) output it saves.
+    out_ref[:, :] = acc[:, :e]
     carry_ref[:, :] = acc[:, e:]
 
 
@@ -710,13 +678,8 @@ def jacobian_fused(
     scheme: TimeScheme,
     interpret: bool | None = None,
     block: int | None = None,  # lane-block override (tests: force nb > 1)
-    keep18: jnp.ndarray | None = None,  # (18, N) row-keep factors
-    add18: jnp.ndarray | None = None,  # (18, N) unit-diagonal additions
 ) -> jnp.ndarray:
-    """(D, 18, N) volume DIA data via the fused kernel (TPU, f32).
-
-    With keep18/add18 the Dirichlet row masking + unit diagonal fuse into
-    the kernel's output write (no extra pass over the matrix)."""
+    """(D, 18, N) raw volume DIA data via the fused kernel (TPU, f32)."""
     if interpret is None:
         interpret = INTERPRET_FUSED
     e, dmax, n = block or _EF_LHS, lctx.dmax, lctx.num_node
@@ -724,37 +687,22 @@ def jacobian_fused(
     num_planes = len(lctx.offsets)
     nrow = num_planes * 18
     state = _fused_state_rows([wa_t[:3]], nb * e + dmax)
-    ka = _ka_rows(keep18, add18, n, nb * e)
     out, _ = _lhs_call(
-        state, lctx.lhs_geom.astype(jnp.float32), ka, lctx.deltas,
-        lctx.plane_tab, num_planes, lctx.offsets.index(0),
+        state, lctx.lhs_geom.astype(jnp.float32), lctx.deltas,
+        lctx.plane_tab, num_planes,
         e=e, nb=nb, dmax=dmax, goff=dmax, phys=phys, scheme=scheme,
         interpret=interpret,
     )
     return out[:nrow, :n].reshape(num_planes, 18, n)
 
 
-def _ka_rows(keep18, add18, n, width):
-    """(48, width) keep/add rows array (keep at rows 0:18, add at 24:42,
-    both 8-row aligned for in-kernel slicing)."""
-    f32 = jnp.float32
-    if keep18 is None:
-        keep18 = jnp.ones((18, n), f32)
-    if add18 is None:
-        add18 = jnp.zeros((18, n), f32)
-    ka = jnp.zeros((48, width), f32)
-    ka = jax.lax.dynamic_update_slice(ka, keep18.astype(f32), (0, 0))
-    ka = jax.lax.dynamic_update_slice(ka, add18.astype(f32), (24, 0))
-    return ka
-
-
 def _lhs_call(
-    state, geom, ka, deltas, plane_tab, num_planes, d0,
+    state, geom, deltas, plane_tab, num_planes,
     *, e, nb, dmax, goff, phys, scheme, interpret,
 ):
-    """Run the Jacobian kernel. state (8, nb*e + dmax); ka (48, nb*e);
-    geometry windows read at [k*e + goff, +e). Returns ((r8, nb*e) DIA
-    rows, (r8, dmax) final UNMASKED carry)."""
+    """Run the Jacobian kernel. state (8, nb*e + dmax); geometry windows
+    read at [k*e + goff, +e). Returns ((r8, nb*e) raw DIA rows,
+    (r8, dmax) final carry)."""
     args = dict(
         rho=float(phys.rho), mu=float(phys.mu),
         f1=float(scheme.fact_dw), f2=float(scheme.fact_w),
@@ -762,7 +710,7 @@ def _lhs_call(
     )
     kern = _partial(
         _lhs_fused_kernel, args=args, e=e, dmax=dmax, goff=goff,
-        deltas=deltas, plane_tab=plane_tab, num_planes=num_planes, d0=d0,
+        deltas=deltas, plane_tab=plane_tab, num_planes=num_planes,
     )
     r8 = -(-(num_planes * 18) // 8) * 8
     return pl.pallas_call(
@@ -775,7 +723,6 @@ def _lhs_call(
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
             pl.BlockSpec((r8, e), lambda k: (0, k)),
@@ -786,16 +733,14 @@ def _lhs_call(
             pltpu.VMEM((2, 16, e), jnp.float32),
             pltpu.VMEM((27, e), jnp.float32),
             pltpu.VMEM((r8, e + dmax), jnp.float32),
-            pltpu.VMEM((48, e), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA(()),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024
         ),
         interpret=interpret,
-    )(state, geom, ka)
+    )(state, geom)
 
 
 # ---------------------------------------------------------------------------
@@ -892,10 +837,9 @@ def jacobian_fused_shmap(
     wa_t: jnp.ndarray,  # (6, N) sharded on the node axis
     phys: Physics,
     scheme: TimeScheme,
-    keep18: jnp.ndarray,  # (18, N)
-    add18: jnp.ndarray,  # (18, N)
     interpret: bool | None = None,
 ) -> jnp.ndarray:
+    """Raw volume DIA data, per-shard fused kernels + carry halo."""
     if interpret is None:
         interpret = INTERPRET_FUSED
     dev_mesh, axis = lctx.shard
@@ -905,38 +849,27 @@ def jacobian_fused_shmap(
     e = _shard_block(L, _EF_LHS)
     num_planes = len(lctx.offsets)
     nrow = num_planes * 18
-    d0 = lctx.offsets.index(0)
     P = jax.sharding.PartitionSpec
 
-    def local(wa_l, ka_l, geom_l):
+    def local(wa_l, geom_l):
         rows = wa_l[:3].astype(jnp.float32)
         band = _band_from_right(rows, axis, nparts, dmax)
         state = jnp.pad(
             jnp.concatenate([rows, band], axis=1), ((0, 5), (0, 0))
         )
         out, carry = _lhs_call(
-            state, geom_l, ka_l, lctx.deltas, lctx.plane_tab, num_planes,
-            d0, e=e, nb=L // e, dmax=dmax, goff=0, phys=phys,
+            state, geom_l, lctx.deltas, lctx.plane_tab, num_planes,
+            e=e, nb=L // e, dmax=dmax, goff=0, phys=phys,
             scheme=scheme, interpret=interpret,
         )
-        # the carried volume rows land on THIS shard's first dmax nodes:
-        # re-apply their keep factors (the kernel masked only local rows)
-        recv = _carry_from_left(carry, axis, nparts)  # (r8, dmax) raw
-        keep_band = jnp.concatenate(
-            [ka_l[0:18, :dmax]] * num_planes
-            + [jnp.zeros((out.shape[0] - nrow, dmax), jnp.float32)],
-            axis=0,
-        )
-        out = out.at[:, :dmax].add(recv * keep_band)
+        recv = _carry_from_left(carry, axis, nparts)
+        out = out.at[:, :dmax].add(recv)
         return out[:nrow].reshape(num_planes, 18, L)
 
-    ka = _ka_rows(keep18, add18, n, n)
     return jax.shard_map(
         local,
         mesh=dev_mesh,
-        in_specs=(P(None, axis), P(None, axis), P(None, None, axis)),
+        in_specs=(P(None, axis), P(None, None, axis)),
         out_specs=P(None, None, axis),
         check_vma=False,
-    )(
-        wa_t.astype(jnp.float32), ka, lctx.lhs_geom.astype(jnp.float32)
-    )
+    )(wa_t.astype(jnp.float32), lctx.lhs_geom.astype(jnp.float32))

@@ -82,7 +82,7 @@ def main():
     def resid_loop(ctx, face_ctxs, mask, wg, dwgold, dwg):
         def body(_, d):
             fr = resid(ctx, face_ctxs, mask, wg, dwgold, d)
-            return d + 0.0 * fr.T
+            return d + 0.0 * jnp.sum(fr)
 
         return resid(
             ctx, face_ctxs, mask, wg, dwgold,
@@ -93,7 +93,7 @@ def main():
         def body(_, d):
             jm = jac(ctx, face_ctxs, mask, wg, dwgold, d)
             leaf = jax.tree_util.tree_leaves(jm)[0]
-            return d + 0.0 * leaf.reshape(-1)[0]
+            return d + 0.0 * jnp.sum(leaf)
 
         return jac(
             ctx, face_ctxs, mask, wg, dwgold,
