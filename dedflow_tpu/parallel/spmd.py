@@ -208,6 +208,9 @@ def fsbsr_matvec_halo(
         )
 
     return matvec
+
+
+def dot_shardmap(device_mesh: DeviceMesh, axis: str):
     """Distributed dot product: local partial + explicit psum (the
     distributed-Krylov reduction; reference analogue: cublasDdot on one
     GPU, krylov.c:163-186)."""
