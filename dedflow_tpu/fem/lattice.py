@@ -91,6 +91,10 @@ class LatticeContext:
     # geometry arrays use the halo-free local layout (column j = cell j).
     shard: tuple | None = field(default=None, metadata=dict(static=True))
     num_node_real: int = field(default=0, metadata=dict(static=True))
+    # t8-interleaved geometry (152, W) for the stacked residual kernel:
+    # rows i*32+a*8+t (sh), 96+t (det), 104+k*8+t (metric6); column j =
+    # cell j (no front pad). Built only for the Pallas backend.
+    res_geom8: jnp.ndarray | None = None
 
     @property
     def num_elem(self) -> int:  # live tets (for flop accounting)
@@ -171,13 +175,14 @@ def build_lattice_context(
     )
 
     xg = jnp.asarray(mesh.xg, dtype=dtype)
-    lhs_rows, res_rows = [], []
+    lhs_rows, res_rows, rr_raw = [], [], []
     for t in range(6):
         idx = cells[:, None] + np.asarray(deltas[t], dtype=np.int64)[None, :]
         idx = np.where(live[:, None], idx, 0)  # dead cells: degenerate
         geom = tet_geometry(xg[jnp.asarray(idx)])
         lr = pk.lhs_geom_rows(geom.shgrad, geom.det_j, geom.metric)
         rr = pk.res_geom_rows(geom.shgrad, geom.det_j, geom.metric)
+        rr_raw.append(rr)
         if shard is not None:
             # local layout: column j = cell j, width exactly ntot
             lhs_rows.append(lr)
@@ -191,6 +196,28 @@ def build_lattice_context(
     tail = lambda parts, r8: jnp.stack(
         [jnp.pad(a, ((0, r8 - a.shape[0]), (0, tail_pad))) for a in parts]
     )
+    if True:
+        # t8-interleaved geometry for the stacked residual kernel; column
+        # j = cell j, width ntot (sharded: divides evenly) or npad.
+        # Built unconditionally (f32): tests drive the fused kernels on
+        # XLA-backend contexts through the interpreter.
+        w8 = ntot if shard is not None else npad
+        f32 = jnp.float32
+        padw = lambda a: jnp.pad(a.astype(f32), (0, w8 - a.shape[0]))[: w8]
+        zrow = jnp.zeros((w8,), f32)
+        rows8 = []
+        for i in range(3):
+            for a in range(4):
+                for t in range(8):
+                    rows8.append(
+                        padw(rr_raw[t][i * 4 + a]) if t < 6 else zrow
+                    )
+        for t in range(8):
+            rows8.append(padw(rr_raw[t][12]) if t < 6 else zrow)
+        for kk in range(6):
+            for t in range(8):
+                rows8.append(padw(rr_raw[t][13 + kk]) if t < 6 else zrow)
+        res_geom8 = jnp.stack(rows8)
     return LatticeContext(
         lhs_geom=tail(lhs_rows, 16),
         res_geom=tail(res_rows, 24),
@@ -203,6 +230,7 @@ def build_lattice_context(
         rows_backend=rows_backend,
         shard=shard,
         num_node_real=n,
+        res_geom8=res_geom8,
     )
 
 
@@ -383,18 +411,38 @@ def assemble_jacobian_t(
     mask_t = mask.T
     if lctx.rows_backend == "pallas":
         # fused carry-accumulator kernel: element body computed exactly
-        # once, the (6, 288, npad) HBM intermediate never exists; masking
-        # and facets land in ONE fused XLA pass over the planes below.
+        # once, the (6, 288, npad) HBM intermediate never exists. Masking
+        # + unit diagonal + facet bands operate on the STACKED (D, 18, N)
+        # array with broadcast multiplies and static-band updates: the
+        # unstack/process/restack per-plane formulation below defeats
+        # XLA's fusion and was measured ~6 ms slower at 1M tets.
         if lctx.shard is not None:
             vol = jacobian_fused_shmap(lctx, w_alpha.T, phys, scheme)
         else:
             vol = jacobian_fused(lctx, w_alpha.T, phys, scheme)
-        vol = vol.astype(dtype)
-        planes = [vol[k] for k in range(num_planes)]
-    else:
-        inp = _lhs_inputs(lctx, w_alpha.T)
-        out = pk.lhs_rows_call(inp, phys, scheme, backend=lctx.rows_backend)
-        planes = _reduce_lhs_planes(lctx, out.astype(dtype))
+        keep_pc = keep_pc_rows(mask_t, dtype)
+        add18 = diag_add_rows(mask_t, dtype)
+        data = vol.astype(dtype) * keep_pc[None]
+        d0 = lctx.offsets.index(0)
+        data = data.at[d0].add(add18)
+        for fctx in face_ctxs:
+            upd = face_lhs_packed(fctx, w_alpha, dw_alpha, phys, scheme)
+            mk = (
+                face_dia_band
+                if fctx.mat_slot_idx is not None
+                else face_dia_block
+            )
+            blk = mk(fctx, upd, num_planes).astype(dtype)
+            lo, span = fctx.dia_row_lo, fctx.dia_row_span
+            band_keep = jax.lax.slice_in_dim(keep_pc, lo, lo + span, axis=1)
+            data = data.at[:, :, lo : lo + span].add(blk * band_keep[None])
+        return FSDIAMatrixT(
+            data=data, offsets=lctx.offsets, backend="pallas",
+            shard=lctx.shard,
+        )
+    inp = _lhs_inputs(lctx, w_alpha.T)
+    out = pk.lhs_rows_call(inp, phys, scheme, backend=lctx.rows_backend)
+    planes = _reduce_lhs_planes(lctx, out.astype(dtype))
 
     # Facet contributions land in a small dense (D, 18, span) block over
     # the boundary's contiguous row range, added with STATIC slices; the
@@ -478,54 +526,32 @@ def _carry_shift(acc, k, e, dmax):
         )
 
 
-def _res_fused_kernel(
-    state_hbm, geom_hbm, out_ref, carry_ref, win, gbuf, inp_buf, acc,
-    sem_s, sem_g,
-    *, args, e, dmax, goff, deltas,
+def _res_t8_kernel(
+    state_hbm, geom_hbm, out_ref, win, inp_buf, sem_s, sem_g,
+    *, args, e, dmax, deltas,
 ):
+    """t8-stacked residual kernel: elements [k*e, (k+1)*e), output rows
+    (a*6+c)*8+t - element-indexed, so no carry/halo machinery; the node
+    reduction is 24 shifted slice-adds in XLA (_reduce_residual_t8)."""
     k = pl.program_id(0)
     pltpu.make_async_copy(
         state_hbm.at[:, pl.ds(k * e, e + dmax)], win, sem_s
     ).start()
     pltpu.make_async_copy(
-        geom_hbm.at[0, :, pl.ds(k * e + goff, e)], gbuf.at[0], sem_g.at[0]
+        geom_hbm.at[:, pl.ds(k * e, e)], inp_buf.at[pl.ds(0, 152), :], sem_g
     ).start()
-    _carry_shift(acc, k, e, dmax)
     pltpu.make_async_copy(
         state_hbm.at[:, pl.ds(k * e, e + dmax)], win, sem_s
     ).wait()
-    for t in range(6):
-        pltpu.make_async_copy(
-            geom_hbm.at[t, :, pl.ds(k * e + goff, e)],
-            gbuf.at[t % 2],
-            sem_g.at[t % 2],
-        ).wait()
-        if t < 5:
-            pltpu.make_async_copy(
-                geom_hbm.at[t + 1, :, pl.ds(k * e + goff, e)],
-                gbuf.at[(t + 1) % 2],
-                sem_g.at[(t + 1) % 2],
-            ).start()
-        d = deltas[t]
-        # assemble the (67, E) kernel input in a scratch ref: row stores
-        # re-layout the lane-shifted window slices (Mosaic cannot
-        # concatenate values at mixed lane offsets)
-        inp_buf[0:19, :] = gbuf[t % 2][:19]
-        for r in range(12):  # u(3)+du(3), p, phi, T, dphi, dT, src per a
+    for g in range(12):
+        for t in range(6):
+            d = deltas[t]
             for a in range(4):
-                inp_buf[19 + r * 4 + a, :] = win[r, d[a] : d[a] + e]
-        res = pk._res_rows(inp_buf[:, :], **args)  # (24, E)
-        for a in range(4):
-            da = d[a]
-            acc[0:6, da : da + e] = (
-                acc[0:6, da : da + e] + res[a * 6 : (a + 1) * 6, :]
-            )
-    out_ref[0:6, :] = acc[0:6, :e]
-    out_ref[6:, :] = jnp.zeros((2, e), jnp.float32)
-    # final-block tail = contributions past the last owned node: the
-    # inter-SHARD halo under shard_map. Constant index_map, so only the
-    # last grid step's value is flushed.
-    carry_ref[:, :] = acc[:, e:]
+                inp_buf[152 + g * 32 + a * 8 + t, :] = win[g, d[a] : d[a] + e]
+    pltpu.make_async_copy(
+        geom_hbm.at[:, pl.ds(k * e, e)], inp_buf.at[pl.ds(0, 152), :], sem_g
+    ).wait()
+    out_ref[:, :] = pk._res_rows_t8(inp_buf[:, :], **args)
 
 
 def _lhs_fused_kernel(
@@ -604,47 +630,57 @@ def _res_state_rows(wa_t, dwa_t, src_t, width):
 
 
 def _res_call(
-    state, geom, deltas, *, e, nb, dmax, goff, phys, scheme, interpret
+    state, geom8, deltas, *, e, nb, dmax, phys, scheme, interpret
 ):
-    """Run the residual kernel. state (16, nb*e + dmax); geometry windows
-    read at [k*e + goff, +e). Returns ((8, nb*e), (8, dmax) final carry)."""
+    """Run the t8 residual kernel. state (16, nb*e + dmax); geom8
+    (152, >= nb*e) with column j = cell j. Returns (192, nb*e) stacked
+    element residual rows."""
     args = dict(
         rho=float(phys.rho), mu=float(phys.mu), cp=float(phys.cp),
         kappa=float(phys.kappa),
         fb=tuple(float(v) for v in phys.body_force), dt=float(scheme.dt),
     )
     kern = _partial(
-        _res_fused_kernel, args=args, e=e, dmax=dmax, goff=goff,
-        deltas=deltas,
+        _res_t8_kernel, args=args, e=e, dmax=dmax, deltas=deltas,
     )
     return pl.pallas_call(
         kern,
-        out_shape=(
-            jax.ShapeDtypeStruct((8, nb * e), jnp.float32),
-            jax.ShapeDtypeStruct((8, dmax), jnp.float32),
-        ),
+        out_shape=jax.ShapeDtypeStruct((192, nb * e), jnp.float32),
         grid=(nb,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=(
-            pl.BlockSpec((8, e), lambda k: (0, k)),
-            pl.BlockSpec((8, dmax), lambda k: (0, 0)),
-        ),
+        out_specs=pl.BlockSpec((192, e), lambda k: (0, k)),
         scratch_shapes=[
             pltpu.VMEM((16, e + dmax), jnp.float32),
-            pltpu.VMEM((2, 24, e), jnp.float32),
-            pltpu.VMEM((67, e), jnp.float32),
-            pltpu.VMEM((8, e + dmax), jnp.float32),
+            pltpu.VMEM((536, e), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024
         ),
         interpret=interpret,
-    )(state, geom)
+    )(state, geom8)
+
+
+def _reduce_residual_t8(lctx, out) -> jnp.ndarray:
+    """(192, W) stacked element rows -> (6, N) nodal residual: 24 shifted
+    strided-slice adds (XLA; under GSPMD the shifts become thin
+    collective-permute halo bands)."""
+    n, dmax = lctx.num_node, lctx.dmax
+    pad_back = max(0, n + dmax - out.shape[1])
+    opad = jnp.pad(out, ((0, 0), (dmax, pad_back)))
+    acc = jnp.zeros((6, n), out.dtype)
+    for t in range(6):
+        for a in range(4):
+            s = dmax - lctx.deltas[t][a]
+            rows0 = a * 48 + t
+            acc = acc + jax.lax.slice(
+                opad, (rows0, s), (rows0 + 41, s + n), (8, 1)
+            )
+    return acc
 
 
 def residual_fused(
@@ -657,18 +693,18 @@ def residual_fused(
     interpret: bool | None = None,
     block: int | None = None,  # lane-block override (tests: force nb > 1)
 ) -> jnp.ndarray:
-    """(6, N) volume residual via the fused kernel (TPU, f32)."""
+    """(6, N) volume residual via the fused t8 kernel (TPU, f32)."""
     if interpret is None:
         interpret = INTERPRET_FUSED
     e, dmax, n = block or _EF_RES, lctx.dmax, lctx.num_node
     nb = -(-n // e)
     state = _res_state_rows(wa_t, dwa_t, src_t, nb * e + dmax)
-    out, _ = _res_call(
-        state, lctx.res_geom.astype(jnp.float32), lctx.deltas,
-        e=e, nb=nb, dmax=dmax, goff=dmax, phys=phys, scheme=scheme,
+    out = _res_call(
+        state, lctx.res_geom8, lctx.deltas,
+        e=e, nb=nb, dmax=dmax, phys=phys, scheme=scheme,
         interpret=interpret,
     )
-    return out[:6, :n]
+    return _reduce_residual_t8(lctx, out)
 
 
 def jacobian_fused(
@@ -806,21 +842,18 @@ def residual_fused_shmap(
         state = jnp.pad(
             jnp.concatenate([rows, band], axis=1), ((0, 4), (0, 0))
         )
-        out, carry = _res_call(
-            state, geom_l, lctx.deltas, e=e, nb=L // e, dmax=dmax, goff=0,
+        return _res_call(
+            state, geom_l, lctx.deltas, e=e, nb=L // e, dmax=dmax,
             phys=phys, scheme=scheme, interpret=interpret,
         )
-        recv = _carry_from_left(carry, axis, nparts)
-        out = out.at[:, :dmax].add(recv)
-        return out[:6]
 
     zero = jnp.zeros((1, n), jnp.float32)
-    return jax.shard_map(
+    out = jax.shard_map(
         local,
         mesh=dev_mesh,
         in_specs=(
             P(None, axis), P(None, axis), P(None, axis),
-            P(None, None, axis),
+            P(None, axis),
         ),
         out_specs=P(None, axis),
         check_vma=False,
@@ -828,8 +861,11 @@ def residual_fused_shmap(
         wa_t.astype(jnp.float32),
         dwa_t.astype(jnp.float32),
         zero if src_t is None else src_t.astype(jnp.float32),
-        lctx.res_geom.astype(jnp.float32),
+        lctx.res_geom8,
     )
+    # element-indexed output: the node reduction's shifted slices become
+    # GSPMD collective-permute halo bands
+    return _reduce_residual_t8(lctx, out)
 
 
 def jacobian_fused_shmap(

@@ -553,6 +553,138 @@ def res_rows_call(
     return _pallas_rows_call(kern, inp.astype(jnp.float32), 24, interpret)
 
 
+# ---------------------------------------------------------------------------
+# t8-stacked residual body: all 6 Kuhn slabs in one call.
+#
+# The per-slab body spends most of its vector-op issues on (1, E) scalar
+# chains (tau/r_l/t1ij...) at 1/8 sublane occupancy and (4, E) nodal
+# tiles at 1/2. Here the slab index t rides the SUBLANES: scalars are
+# (1, 8, E) tiles (rows t, 6 live + 2 zero pad - ONE tile instead of six)
+# and nodal quantities are (4, 8, E) (vertex a on the leading non-tiled
+# axis). Reductions over a are 3 tile-adds; scalar broadcasts are
+# implicit leading-axis broadcasts. Same arithmetic as _res_rows.
+
+
+def _t8_shl(q, dtype=jnp.float32) -> jnp.ndarray:
+    """(4, 8, 1) with SHL[q][a] at [a, t, 0]."""
+    a = jax.lax.broadcasted_iota(jnp.int32, (4, 8, 1), 0)
+    out = jnp.zeros((4, 8, 1), dtype)
+    for ai in range(4):
+        out = out + jnp.where(a == ai, jnp.asarray(_SHL[q][ai], dtype), 0.0)
+    return out
+
+
+def _res_rows_t8(inp, *, rho, mu, cp, kappa, fb, dt):
+    """(536, E) t8-stacked inputs -> (192, E) element residual rows
+    (a*6 + c)*8 + t.
+
+    Input rows: [0:96) sh (i*32 + a*8 + t), [96:104) det (t),
+    [104:152) metric6 (k*8 + t), [152:536) state quantities g*32+a*8+t
+    with g = [u0,u1,u2,du0,du1,du2,p,phi,T,dphi,dT,src]."""
+    f32 = inp.dtype
+    e = inp.shape[1]
+    n4 = lambda r0: inp[r0 : r0 + 32, :].reshape(4, 8, e)
+    s8 = lambda r0: inp[r0 : r0 + 8, :].reshape(1, 8, e)
+    sh = [n4(i * 32) for i in range(3)]
+    det = s8(96)
+    m6 = [s8(104 + k * 8) for k in range(6)]
+    base = 152
+    g12 = [n4(base + g * 32) for g in range(12)]
+    u, du = g12[0:3], g12[3:6]
+    p, phi, temp, dphi, dtemp, src = g12[6:12]
+
+    m00, m01, m02, m11, m12, m22 = m6
+    gg = (
+        m00 * m00 + m11 * m11 + m22 * m22
+        + 2.0 * (m01 * m01 + m02 * m02 + m12 * m12)
+    )
+    tr = m00 + m11 + m22
+    tr = jnp.where(tr > 0.0, tr, 1.0)
+    nu = mu / rho
+    alpha_th = kappa / (rho * cp)
+    t0 = 4.0 / (dt * dt)
+
+    red4 = lambda x: jnp.sum(x, axis=0, keepdims=True)  # (4,8,E)->(1,8,E)
+    dot8 = lambda nodal, grad: red4(nodal * grad)
+
+    grad_u = [[dot8(u[i], sh[j]) for j in range(3)] for i in range(3)]
+    grad_p = [dot8(p, sh[i]) for i in range(3)]
+    grad_phi = [dot8(phi, sh[i]) for i in range(3)]
+    grad_t = [dot8(temp, sh[i]) for i in range(3)]
+    divu = grad_u[0][0] + grad_u[1][1] + grad_u[2][2]
+
+    fm = [jnp.zeros((4, 8, e), f32) for _ in range(3)]
+    fc = jnp.zeros((4, 8, e), f32)
+    fphi = jnp.zeros((4, 8, e), f32)
+    ft = jnp.zeros((4, 8, e), f32)
+    for q in range(4):
+        wq = float(_GW[q])
+        shl_a = _t8_shl(q, f32)  # (4, 8, 1)
+        qval = lambda nodal: red4(shl_a * nodal)
+        uq = [qval(u[i]) for i in range(3)]
+        duq = [qval(du[i]) for i in range(3)]
+        pq = qval(p)
+        dphiq = qval(dphi)
+        dtempq = qval(dtemp)
+        srcq = qval(src)
+
+        t1 = (
+            m00 * uq[0] * uq[0] + m11 * uq[1] * uq[1] + m22 * uq[2] * uq[2]
+            + 2.0 * (m01 * uq[0] * uq[1] + m02 * uq[0] * uq[2]
+                     + m12 * uq[1] * uq[2])
+        )
+        tau_m = jax.lax.rsqrt(t0 + t1 + 3.0 * nu * nu * gg) / rho
+        tau_c = jnp.sqrt(t1 + 3.0 * nu * nu * gg) / tr
+        tau_phi = jax.lax.rsqrt(t0 + t1)
+        tau_t = jax.lax.rsqrt(
+            t0 + t1 + 3.0 * alpha_th * alpha_th * gg
+        ) / (rho * cp)
+
+        conv = [
+            uq[0] * grad_u[i][0] + uq[1] * grad_u[i][1] + uq[2] * grad_u[i][2]
+            for i in range(3)
+        ]
+        r_l = [rho * (duq[i] - fb[i] + conv[i]) + grad_p[i] for i in range(3)]
+        ucor = [uq[i] - tau_m * r_l[i] for i in range(3)]
+        tmp0 = [
+            rho * (duq[i] - fb[i]
+                   + ucor[0] * grad_u[i][0] + ucor[1] * grad_u[i][1]
+                   + ucor[2] * grad_u[i][2])
+            for i in range(3)
+        ]
+        diag = -pq + rho * tau_c * divu
+        for i in range(3):
+            acc = shl_a * tmp0[i]  # (4,8,E)
+            for j in range(3):
+                t1ij = (
+                    mu * (grad_u[i][j] + grad_u[j][i])
+                    + rho * tau_m * r_l[i] * uq[j]
+                    - rho * tau_m * tau_m * r_l[i] * r_l[j]
+                )
+                if i == j:
+                    t1ij = t1ij + diag
+                acc = acc + sh[j] * t1ij
+            fm[i] = fm[i] + wq * acc
+        fc = fc + wq * (
+            shl_a * divu
+            + tau_m * (sh[0] * r_l[0] + sh[1] * r_l[1] + sh[2] * r_l[2])
+        )
+        shconv = uq[0] * sh[0] + uq[1] * sh[1] + uq[2] * sh[2]
+        adv_phi = dphiq + (uq[0] * grad_phi[0] + uq[1] * grad_phi[1]
+                           + uq[2] * grad_phi[2])
+        fphi = fphi + wq * adv_phi * (shl_a + tau_phi * shconv)
+        adv_t = rho * cp * (dtempq + uq[0] * grad_t[0] + uq[1] * grad_t[1]
+                            + uq[2] * grad_t[2])
+        ft = ft + wq * (adv_t - srcq) * (shl_a + rho * cp * tau_t * shconv)
+
+    ft = ft + _GWSUM * kappa * (
+        sh[0] * grad_t[0] + sh[1] * grad_t[1] + sh[2] * grad_t[2]
+    )
+
+    comps = jnp.stack(fm + [fc, fphi, ft], axis=1)  # (4, 6, 8, E)
+    return (comps * det[:, None]).reshape(192, e)
+
+
 def _lhs_chunk(inp, a, *, rho, mu, f1, f2, dt):
     """Per-vertex-a slice of the element Jacobian: (27, E) -> (72, E),
     rows b*18 + c == rows (a*4+b)*18 + c of _lhs_rows. Identical math on
