@@ -62,6 +62,11 @@ def build_argparser() -> argparse.ArgumentParser:
         help="use the candidate-list DEM path instead of the dense "
         "grid-resident one",
     )
+    p.add_argument(
+        "--no-lattice-recover", action="store_true",
+        help="skip structured-lattice detection on --mesh files (always "
+        "use the general unstructured path)",
+    )
     p.add_argument("--steps", type=int, default=None, help="override num_steps")
     p.add_argument("--save-every", type=int, default=None)
     p.add_argument("--out", default=".", help="output directory")
@@ -157,9 +162,23 @@ def main(argv=None) -> int:
     log.info("devices: %s", ", ".join(f"{d.device_kind}" for d in devs))
 
     # --- mesh
+    node_perm = None  # recovered-lattice node permutation (old -> new)
     if args.mesh:
         mesh = read_mesh_h5(args.mesh)
         log.info("mesh %s: %d nodes, %d tets", args.mesh, mesh.num_node, mesh.num_tet)
+        if mesh.lattice is None and not args.no_lattice_recover:
+            from dedflow_tpu.mesh.recover import recover_lattice
+
+            rec = recover_lattice(mesh)
+            if rec is not None:
+                mesh, node_perm = rec
+                nx_, ny_, nz_ = mesh.lattice
+                log.info(
+                    "recovered %dx%dx%d lattice (%d tets/cell): "
+                    "gather-free fast path enabled; solutions are written "
+                    "in the file's original node order",
+                    nx_, ny_, nz_, len(mesh.lattice_tets),
+                )
     else:
         nx, ny, nz = args.box or (8, 8, 8)
         mesh = box_mesh(nx, ny, nz)
@@ -246,11 +265,21 @@ def main(argv=None) -> int:
         to_dev = lambda a: jnp.asarray(a, dtype=solver.dtype)
         to_host = np.asarray
 
+    # --- recovered-lattice runs keep solution files in the INPUT mesh's
+    # node order (sol.<N>.h5 pairs with the user's mesh file in sol2vtk)
+    if node_perm is not None:
+        _inv_perm = np.argsort(node_perm)
+        from_file_order = lambda a: np.asarray(a)[_inv_perm]
+        to_file_order = lambda a: np.asarray(a)[node_perm]
+    else:
+        from_file_order = to_file_order = lambda a: a
+
     # --- initial / resumed state (main.c:480-533)
     step0 = args.resume
     if step0:
         snap = read_solution_h5(os.path.join(args.out, f"sol.{step0}.h5"))
-        wg_np, dwg_np = snap["wg"], snap["dwg"]
+        wg_np = from_file_order(snap["wg"])
+        dwg_np = from_file_order(snap["dwg"])
         dwgold_np = dwg_np.copy()  # reference resumes with dwgold = dwg
         log.info("resumed from step %d", step0)
     else:
@@ -260,7 +289,8 @@ def main(argv=None) -> int:
         }.get(args.scenario, reference_initial_state)
         wg_np, dwgold_np, dwg_np = init(mesh)
         write_solution_h5(
-            os.path.join(args.out, "sol.0.h5"), wg_np, dwg_np, step=0, time=0.0
+            os.path.join(args.out, "sol.0.h5"),
+            to_file_order(wg_np), to_file_order(dwg_np), step=0, time=0.0,
         )
     wg, dwgold, dwg = to_dev(wg_np), to_dev(dwgold_np), to_dev(dwg_np)
 
@@ -325,8 +355,8 @@ def main(argv=None) -> int:
             if step % cfg.save_every == 0:
                 write_solution_h5(
                     os.path.join(args.out, f"sol.{step}.h5"),
-                    to_host(wg),
-                    to_host(dwg),
+                    to_file_order(to_host(wg)),
+                    to_file_order(to_host(dwg)),
                     step=step,
                     time=step * dt,
                 )

@@ -95,20 +95,29 @@ class LatticeContext:
     # rows i*32+a*8+t (sh), 96+t (det), 104+k*8+t (metric6); column j =
     # cell j (no front pad). Built only for the Pallas backend.
     res_geom8: jnp.ndarray | None = None
+    # (1, N) live-element multiplicity per node: the phi-phi/T-T identity
+    # components of the reference LHS (assemble.cu: eye on the scalar
+    # diagonals per element) summed over incident live tets. State
+    # independent, so the fused kernel skips those 2 components (16-row
+    # aligned accumulator) and the masking pass adds them back.
+    mult: jnp.ndarray | None = None
 
     @property
     def num_elem(self) -> int:  # live tets (for flop accounting)
-        return 6 * (self.num_node_real or self.num_node)
+        return len(self.deltas) * (self.num_node_real or self.num_node)
 
 
-def _lattice_tables(nx: int, ny: int, nz: int):
+def _lattice_tables(nx: int, ny: int, nz: int, tets=None):
+    if tets is None:
+        tets = _KUHN_TETS
+    nt = len(tets)
     sy, sz = nx + 1, (nx + 1) * (ny + 1)
     corner = [(o & 1) + sy * ((o >> 1) & 1) + sz * ((o >> 2) & 1) for o in range(8)]
     deltas = tuple(
-        tuple(int(corner[c]) for c in _KUHN_TETS[t]) for t in range(6)
+        tuple(int(corner[c]) for c in tets[t]) for t in range(nt)
     )
     offs = sorted(
-        {deltas[t][b] - deltas[t][a] for t in range(6) for a in range(4) for b in range(4)}
+        {deltas[t][b] - deltas[t][a] for t in range(nt) for a in range(4) for b in range(4)}
     )
     plane_of = {o: d for d, o in enumerate(offs)}
     plane_tab = tuple(
@@ -116,7 +125,7 @@ def _lattice_tables(nx: int, ny: int, nz: int):
             tuple(plane_of[deltas[t][b] - deltas[t][a]] for b in range(4))
             for a in range(4)
         )
-        for t in range(6)
+        for t in range(nt)
     )
     return sy, sz, deltas, tuple(offs), plane_tab
 
@@ -142,7 +151,10 @@ def build_lattice_context(
         dtype = jnp.zeros(0).dtype
     if rows_backend is None:
         rows_backend = "pallas" if jax.default_backend() == "tpu" else "xla"
-    sy, sz, deltas, offs, plane_tab = _lattice_tables(nx, ny, nz)
+    sy, sz, deltas, offs, plane_tab = _lattice_tables(
+        nx, ny, nz, getattr(mesh, "lattice_tets", None)
+    )
+    nt = len(deltas)
     n = mesh.num_node
     assert n == (nx + 1) * (ny + 1) * (nz + 1)
     ntot = num_node_pad or n
@@ -176,7 +188,7 @@ def build_lattice_context(
 
     xg = jnp.asarray(mesh.xg, dtype=dtype)
     lhs_rows, res_rows, rr_raw = [], [], []
-    for t in range(6):
+    for t in range(nt):
         idx = cells[:, None] + np.asarray(deltas[t], dtype=np.int64)[None, :]
         idx = np.where(live[:, None], idx, 0)  # dead cells: degenerate
         geom = tet_geometry(xg[jnp.asarray(idx)])
@@ -210,14 +222,20 @@ def build_lattice_context(
             for a in range(4):
                 for t in range(8):
                     rows8.append(
-                        padw(rr_raw[t][i * 4 + a]) if t < 6 else zrow
+                        padw(rr_raw[t][i * 4 + a]) if t < nt else zrow
                     )
         for t in range(8):
-            rows8.append(padw(rr_raw[t][12]) if t < 6 else zrow)
+            rows8.append(padw(rr_raw[t][12]) if t < nt else zrow)
         for kk in range(6):
             for t in range(8):
-                rows8.append(padw(rr_raw[t][13 + kk]) if t < 6 else zrow)
+                rows8.append(padw(rr_raw[t][13 + kk]) if t < nt else zrow)
         res_geom8 = jnp.stack(rows8)
+    # nodal live-element multiplicity (see LatticeContext.mult)
+    lc = cells[live]
+    vidx = np.concatenate(
+        [lc + deltas[t][a] for t in range(nt) for a in range(4)]
+    )
+    mult = np.bincount(vidx, minlength=ntot).astype(np.float32)[None, :]
     return LatticeContext(
         lhs_geom=tail(lhs_rows, 16),
         res_geom=tail(res_rows, 24),
@@ -231,6 +249,7 @@ def build_lattice_context(
         shard=shard,
         num_node_real=n,
         res_geom8=res_geom8,
+        mult=jnp.asarray(mult),
     )
 
 
@@ -259,7 +278,7 @@ def _residual_inputs(lctx, wa_t, dwa_t, src_t):
     dwpad = _pad_nodal(dwa_t, lctx)
     spad = None if src_t is None else _pad_nodal(src_t, lctx)
     parts = []
-    for t in range(6):
+    for t in range(len(lctx.deltas)):
         d = lctx.deltas[t]
         geom = lctx.res_geom[t, :19, :npad]
         sh = lambda row, a, p=wpad: _shift_rows(p[row : row + 1], d[a], npad)
@@ -286,7 +305,7 @@ def _lhs_inputs(lctx, wa_t):
     npad, dmax = lctx.npad, lctx.dmax
     upad = _pad_nodal(wa_t[:3], lctx)
     parts = []
-    for t in range(6):
+    for t in range(len(lctx.deltas)):
         d = lctx.deltas[t]
         geom = lctx.lhs_geom[t, :, :npad]
         rows = [geom[:12]]
@@ -305,7 +324,7 @@ def _reduce_residual(lctx, out) -> jnp.ndarray:
     assemble.cu:188-208)."""
     n, dmax = lctx.num_node, lctx.dmax
     acc = jnp.zeros((6, n), out.dtype)
-    for t in range(6):
+    for t in range(len(lctx.deltas)):
         for a in range(4):
             s = dmax - lctx.deltas[t][a]
             acc = acc + jax.lax.slice(
@@ -321,7 +340,7 @@ def _reduce_lhs_planes(lctx, out) -> list:
     unstacked so face/mask/diagonal passes fuse per plane."""
     n, dmax = lctx.num_node, lctx.dmax
     planes = [None] * len(lctx.offsets)
-    for t in range(6):
+    for t in range(len(lctx.deltas)):
         for a in range(4):
             s0 = dmax - lctx.deltas[t][a]
             for b in range(4):
@@ -422,9 +441,20 @@ def assemble_jacobian_t(
             vol = jacobian_fused(lctx, w_alpha.T, phys, scheme)
         keep_pc = keep_pc_rows(mask_t, dtype)
         add18 = diag_add_rows(mask_t, dtype)
-        data = vol.astype(dtype) * keep_pc[None]
         d0 = lctx.offsets.index(0)
-        data = data.at[d0].add(add18)
+        n = vol.shape[2]
+        # One fused elementwise pass builds the final (D, 18, N) array:
+        # masking multiply, phi/T multiplicity planes, unit diagonal and
+        # facet bands are all expressed as broadcast multiplies / pad+add
+        # (dynamic-update-slice `.at[].add` forms copy the whole ~200 MB
+        # array per use - measured ~1.3 ms each in the r3 profile).
+        oneh = jnp.zeros((vol.shape[0], 1, 1), dtype).at[d0].set(1.0)
+        # phi-phi / T-T identity components: state-independent nodal
+        # multiplicity (see LatticeContext.mult), d0 plane only
+        sc = lctx.mult.astype(dtype) * keep_pc[16:18] + add18[16:18]  # (2, N)
+        data16 = vol.astype(dtype) * keep_pc[None, :16]
+        data16 = data16 + oneh * add18[None, :16]
+        scal = oneh * sc[None]  # (D, 2, N) via broadcast
         for fctx in face_ctxs:
             upd = face_lhs_packed(fctx, w_alpha, dw_alpha, phys, scheme)
             mk = (
@@ -435,7 +465,11 @@ def assemble_jacobian_t(
             blk = mk(fctx, upd, num_planes).astype(dtype)
             lo, span = fctx.dia_row_lo, fctx.dia_row_span
             band_keep = jax.lax.slice_in_dim(keep_pc, lo, lo + span, axis=1)
-            data = data.at[:, :, lo : lo + span].add(blk * band_keep[None])
+            blk = blk * band_keep[None]
+            pads = ((0, 0), (0, 0), (lo, n - lo - span))
+            data16 = data16 + jnp.pad(blk[:, :16], pads)
+            scal = scal + jnp.pad(blk[:, 16:], pads)
+        data = jnp.concatenate([data16, scal], axis=1)
         return FSDIAMatrixT(
             data=data, offsets=lctx.offsets, backend="pallas",
             shard=lctx.shard,
@@ -544,7 +578,7 @@ def _res_t8_kernel(
         state_hbm.at[:, pl.ds(k * e, e + dmax)], win, sem_s
     ).wait()
     for g in range(12):
-        for t in range(6):
+        for t in range(len(deltas)):
             d = deltas[t]
             for a in range(4):
                 inp_buf[152 + g * 32 + a * 8 + t, :] = win[g, d[a] : d[a] + e]
@@ -570,13 +604,14 @@ def _lhs_fused_kernel(
     pltpu.make_async_copy(
         state_hbm.at[:, pl.ds(k * e, e + dmax)], win, sem_s
     ).wait()
-    for t in range(6):
+    nt = len(deltas)
+    for t in range(nt):
         pltpu.make_async_copy(
             geom_hbm.at[t, :, pl.ds(k * e + goff, e)],
             gbuf.at[t % 2],
             sem_g.at[t % 2],
         ).wait()
-        if t < 5:
+        if t < nt - 1:
             pltpu.make_async_copy(
                 geom_hbm.at[t + 1, :, pl.ds(k * e + goff, e)],
                 gbuf.at[(t + 1) % 2],
@@ -590,16 +625,17 @@ def _lhs_fused_kernel(
         inp_buf[24:27, :] = gbuf[t % 2][12:15]
         # full 16-pair update: (16, E) sublane tiles run at full VPU
         # occupancy (the per-vertex (4, E) chunk variant issues 2x the
-        # vector ops for the same arithmetic)
-        upd = pk._lhs_rows(inp_buf[:, :], **args)  # (288, E)
+        # vector ops for the same arithmetic). ncomp=16 (no phi/T
+        # identity): every 16-row slice below is sublane-aligned.
+        upd = pk._lhs_rows(inp_buf[:, :], ncomp=16, **args)  # (256, E)
         for a in range(4):
             da = d[a]
             for b in range(4):
                 p = plane_tab[t][a][b]
-                s = (a * 4 + b) * 18
-                sl = slice(p * 18, (p + 1) * 18)
+                s = (a * 4 + b) * 16
+                sl = slice(p * 16, (p + 1) * 16)
                 acc[sl, da : da + e] = (
-                    acc[sl, da : da + e] + upd[s : s + 18, :]
+                    acc[sl, da : da + e] + upd[s : s + 16, :]
                 )
     # NOTE Dirichlet masking is deliberately NOT fused here: building
     # the per-plane keep/add factors in VMEM costs a (272, E) sublane
@@ -673,7 +709,7 @@ def _reduce_residual_t8(lctx, out) -> jnp.ndarray:
     pad_back = max(0, n + dmax - out.shape[1])
     opad = jnp.pad(out, ((0, 0), (dmax, pad_back)))
     acc = jnp.zeros((6, n), out.dtype)
-    for t in range(6):
+    for t in range(len(lctx.deltas)):
         for a in range(4):
             s = dmax - lctx.deltas[t][a]
             rows0 = a * 48 + t
@@ -721,7 +757,7 @@ def jacobian_fused(
     e, dmax, n = block or _EF_LHS, lctx.dmax, lctx.num_node
     nb = -(-n // e)
     num_planes = len(lctx.offsets)
-    nrow = num_planes * 18
+    nrow = num_planes * 16
     state = _fused_state_rows([wa_t[:3]], nb * e + dmax)
     out, _ = _lhs_call(
         state, lctx.lhs_geom.astype(jnp.float32), lctx.deltas,
@@ -729,7 +765,7 @@ def jacobian_fused(
         e=e, nb=nb, dmax=dmax, goff=dmax, phys=phys, scheme=scheme,
         interpret=interpret,
     )
-    return out[:nrow, :n].reshape(num_planes, 18, n)
+    return out[:nrow, :n].reshape(num_planes, 16, n)
 
 
 def _lhs_call(
@@ -748,7 +784,7 @@ def _lhs_call(
         _lhs_fused_kernel, args=args, e=e, dmax=dmax, goff=goff,
         deltas=deltas, plane_tab=plane_tab, num_planes=num_planes,
     )
-    r8 = -(-(num_planes * 18) // 8) * 8
+    r8 = -(-(num_planes * 16) // 8) * 8
     return pl.pallas_call(
         kern,
         out_shape=(
@@ -884,7 +920,7 @@ def jacobian_fused_shmap(
     L = n // nparts
     e = _shard_block(L, _EF_LHS)
     num_planes = len(lctx.offsets)
-    nrow = num_planes * 18
+    nrow = num_planes * 16
     P = jax.sharding.PartitionSpec
 
     def local(wa_l, geom_l):
@@ -900,7 +936,7 @@ def jacobian_fused_shmap(
         )
         recv = _carry_from_left(carry, axis, nparts)
         out = out.at[:, :dmax].add(recv)
-        return out[:nrow].reshape(num_planes, 18, L)
+        return out[:nrow].reshape(num_planes, 16, L)
 
     return jax.shard_map(
         local,

@@ -100,9 +100,16 @@ def _lhs_kernel(inp_ref, out_ref, *, rho, mu, f1, f2, dt):
     out_ref[:, :] = _lhs_rows(inp_ref[:, :], rho=rho, mu=mu, f1=f1, f2=f2, dt=dt)
 
 
-def _lhs_rows(inp, *, rho, mu, f1, f2, dt):
-    """Pure (27, E) -> (288, E) element-Jacobian body, shared by the Pallas
-    kernel (TPU) and the plain-XLA lattice fallback (CPU / f64)."""
+def _lhs_rows(inp, *, rho, mu, f1, f2, dt, ncomp=18):
+    """Pure (27, E) -> (16*ncomp, E) element-Jacobian body, shared by the
+    Pallas kernel (TPU) and the plain-XLA lattice fallback (CPU / f64).
+
+    ncomp=18 emits the full packed layout; ncomp=16 drops the phi-phi/T-T
+    identity components (16/17) - they are STATE-INDEPENDENT (eye16 *
+    liveness), so the lattice fast path precomputes their nodal sum (the
+    element multiplicity) once and the fused kernel's accumulator slices
+    become 16-row = sublane-aligned (18-row slices straddle 8-sublane
+    tiles, measured ~2x slower accumulate loop)."""
     f32 = inp.dtype
     sh = [inp[4 * i : 4 * (i + 1), :] for i in range(3)]  # i -> (4, E)
     u = [inp[12 + 4 * i : 12 + 4 * (i + 1), :] for i in range(3)]
@@ -160,7 +167,7 @@ def _lhs_rows(inp, *, rho, mu, f1, f2, dt):
     gwshl_b = _pair_const(lambda a, b: _GWSHL[b], f32)
     eye16 = _pair_const(lambda a, b: 1.0 if a == b else 0.0, f32)
 
-    comps = [None] * 18
+    comps = [None] * ncomp
     for i in range(3):
         for j in range(3):
             c = (f2 * mu * _GWSUM) * sh_a[j] * sh_b[i] + c_grad2 * sh_a[i] * sh_b[j]
@@ -175,15 +182,16 @@ def _lhs_rows(inp, *, rho, mu, f1, f2, dt):
             + (f2 * rho) * sh_a[i] * gsconv_b
         ) * det
     comps[15] = tau0_sum * e_k * det
-    ident = eye16 * (det > 0.0).astype(f32)
-    comps[16] = jnp.broadcast_to(ident, e_k.shape)
-    comps[17] = comps[16]
+    if ncomp == 18:
+        ident = eye16 * (det > 0.0).astype(f32)
+        comps[16] = jnp.broadcast_to(ident, e_k.shape)
+        comps[17] = comps[16]
 
-    stacked = jnp.stack(comps, axis=1)  # (16, 18, E)
+    stacked = jnp.stack(comps, axis=1)  # (16, ncomp, E)
     # collapse the two MAJOR dims (free); any lane-major transpose to
     # (E, 288) happens outside in XLA (Mosaic cannot shape-cast across
     # the lane dim)
-    return stacked.reshape(288, det.shape[1])
+    return stacked.reshape(16 * ncomp, det.shape[1])
 
 
 def res_geom_rows(shgrad, det_j, metric) -> jnp.ndarray:

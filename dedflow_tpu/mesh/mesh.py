@@ -58,6 +58,11 @@ class Mesh:
     ien: np.ndarray
     boundaries: list[Boundary] = field(default_factory=list)
     lattice: tuple[int, int, int] | None = None
+    # Per-cell tet split as (T, 4) cube-corner ids (corner = ix + 2*iy +
+    # 4*iz), T <= 8. None means the generator's Kuhn 6-tet split. Set by
+    # mesh.recover.recover_lattice for converted meshes whose cells use a
+    # different uniform subdivision.
+    lattice_tets: np.ndarray | None = None
     # Mixed-cell connectivity, mirroring the reference's MeshData slots
     # (MeshData.h:27-29). Like the reference (whose prism/hex assembly and
     # coloring are empty, csr.c:107-130 builds only their sparsity), these

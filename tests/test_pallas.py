@@ -168,8 +168,10 @@ def test_fused_carry_kernels_multiblock_interpret():
     j_int = jacobian_fused(
         lctx, wa.T, cfg.physics, cfg.time, interpret=True, block=128
     )
+    # the fused kernel emits the 16 state-dependent components; the
+    # phi-phi/T-T identity planes are added by the masking pass
     np.testing.assert_allclose(
-        np.asarray(j_int), np.asarray(j_ref), rtol=2e-5, atol=1e-6
+        np.asarray(j_int), np.asarray(j_ref[:, :16]), rtol=2e-5, atol=1e-6
     )
 
 
