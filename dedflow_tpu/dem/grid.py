@@ -357,15 +357,33 @@ def dem_run_grid(cfg: DEMConfig, state: ParticleState, num_steps: int,
         from jax.sharding import NamedSharding, PartitionSpec
 
         dev_mesh, axis = shard
+        nparts = int(np.prod(dev_mesh.devices.shape))
         sh_cells = NamedSharding(dev_mesh, PartitionSpec(None, axis))
-        put = lambda a: jax.device_put(a, sh_cells)
+
+        def put(gs: GridState) -> GridState:
+            # the flat cell axis must split evenly over the devices: pad
+            # with empty cells (mask 0, pid = P -> dropped by from_grid's
+            # mode="drop" scatter; zero state contributes no forces)
+            nc = gs.mask.shape[1]
+            ncp = -(-nc // nparts) * nparts
+            w = ((0, 0), (0, ncp - nc))
+            d = lambda a: jax.device_put(jnp.pad(a, w), sh_cells)
+            return GridState(
+                pos=tuple(d(a) for a in gs.pos),
+                vel=tuple(d(a) for a in gs.vel),
+                radius=d(gs.radius),
+                mask=d(gs.mask),
+                pid=jax.device_put(
+                    jnp.pad(gs.pid, w, constant_values=p), sh_cells
+                ),
+            )
     done = 0
     cur = state
     while done < num_steps:
         n = min(rebuild_every, num_steps - done)
         gs = to_grid(cfg.grid, cur, p)
         if put is not None:
-            gs = jax.tree_util.tree_map(put, gs)
+            gs = put(gs)
         ext_g = None
         if ext is not None:
             safe = jnp.minimum(gs.pid, p - 1)

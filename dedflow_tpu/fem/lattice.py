@@ -442,7 +442,16 @@ def assemble_jacobian_t(
         keep_pc = keep_pc_rows(mask_t, dtype)
         add18 = diag_add_rows(mask_t, dtype)
         d0 = lctx.offsets.index(0)
+        # vol may be WIDER than N (128-lane-aligned, jacobian_fused):
+        # carry the alignment through to the stored matrix so the SpMV
+        # kernel never pads/relayouts it; mask/diag rows pad with zeros
+        # (pad columns are garbage behind FSDIAMatrixT.num_node).
         n = vol.shape[2]
+        nreal = lctx.num_node
+        if n != nreal:
+            wpad = ((0, 0), (0, n - nreal))
+            keep_pc = jnp.pad(keep_pc, wpad)
+            add18 = jnp.pad(add18, wpad)
         # One fused elementwise pass builds the final (D, 18, N) array:
         # masking multiply, phi/T multiplicity planes, unit diagonal and
         # facet bands are all expressed as broadcast multiplies / pad+add
@@ -451,10 +460,16 @@ def assemble_jacobian_t(
         oneh = jnp.zeros((vol.shape[0], 1, 1), dtype).at[d0].set(1.0)
         # phi-phi / T-T identity components: state-independent nodal
         # multiplicity (see LatticeContext.mult), d0 plane only
-        sc = lctx.mult.astype(dtype) * keep_pc[16:18] + add18[16:18]  # (2, N)
+        mult = lctx.mult.astype(dtype)[:, :nreal]
+        if n != nreal:
+            mult = jnp.pad(mult, ((0, 0), (0, n - nreal)))
+        sc = mult * keep_pc[16:18] + add18[16:18]  # (2, W)
         data16 = vol.astype(dtype) * keep_pc[None, :16]
         data16 = data16 + oneh * add18[None, :16]
-        scal = oneh * sc[None]  # (D, 2, N) via broadcast
+        # scal rows (2*D, W): phi-phi / T-T live on the d0 plane only
+        scal = jnp.pad(
+            sc, ((2 * d0, 2 * (num_planes - 1 - d0)), (0, 0))
+        )
         for fctx in face_ctxs:
             upd = face_lhs_packed(fctx, w_alpha, dw_alpha, phys, scheme)
             mk = (
@@ -468,11 +483,13 @@ def assemble_jacobian_t(
             blk = blk * band_keep[None]
             pads = ((0, 0), (0, 0), (lo, n - lo - span))
             data16 = data16 + jnp.pad(blk[:, :16], pads)
-            scal = scal + jnp.pad(blk[:, 16:], pads)
-        data = jnp.concatenate([data16, scal], axis=1)
+            scal = scal + jnp.pad(
+                blk[:, 16:].reshape(2 * num_planes, span),
+                ((0, 0), (lo, n - lo - span)),
+            )
         return FSDIAMatrixT(
-            data=data, offsets=lctx.offsets, backend="pallas",
-            shard=lctx.shard,
+            data=data16, scal=scal, offsets=lctx.offsets, backend="pallas",
+            shard=lctx.shard, num_node=None if n == nreal else nreal,
         )
     inp = _lhs_inputs(lctx, w_alpha.T)
     out = pk.lhs_rows_call(inp, phys, scheme, backend=lctx.rows_backend)
@@ -494,22 +511,34 @@ def assemble_jacobian_t(
     add18 = diag_add_rows(mask_t, dtype)
     d0 = lctx.offsets.index(0)
     n = lctx.num_node
-    final = []
+    # Split into the 16 vel/p rows and the 2 scalar rows BEFORE the
+    # per-plane facet/mask pass: an (18, N) plane consumed by two
+    # different row-slices makes GSPMD replicate the facet pads at full
+    # width (an O(N) all-gather per plane, caught by the sharding test);
+    # split accumulators keep every pad <= 16 rows and shard-local.
+    final16, final2 = [], []
     for k in range(num_planes):
-        p = planes[k]
+        p16, p2 = planes[k][:16], planes[k][16:18]
         for blk, lo, span in face_blks:
             # pad the REPLICATED facet block to full width and add, rather
             # than `.at[lo:lo+span].add` - the scatter-add lowering makes
             # GSPMD all-gather the sharded plane on multi-chip runs, while
             # pad+add stays shard-local (tests/test_sharding.py HLO check)
-            p = p + jnp.pad(blk[k], ((0, 0), (lo, n - lo - span)))
-        p = p * keep_pc
+            pads = ((0, 0), (lo, n - lo - span))
+            p16 = p16 + jnp.pad(blk[k][:16], pads)
+            p2 = p2 + jnp.pad(blk[k][16:18], pads)
+        p16 = p16 * keep_pc[:16]
+        p2 = p2 * keep_pc[16:18]
         if k == d0:
-            p = p + add18
-        final.append(p)
+            p16 = p16 + add18[:16]
+            p2 = p2 + add18[16:18]
+        final16.append(p16)
+        final2.append(p2)
     backend = "pallas" if lctx.rows_backend == "pallas" else "xla"
     return FSDIAMatrixT(
-        data=jnp.stack(final), offsets=lctx.offsets, backend=backend,
+        data=jnp.stack(final16),
+        scal=jnp.concatenate(final2, axis=0),
+        offsets=lctx.offsets, backend=backend,
         shard=lctx.shard,
     )
 
@@ -751,7 +780,14 @@ def jacobian_fused(
     interpret: bool | None = None,
     block: int | None = None,  # lane-block override (tests: force nb > 1)
 ) -> jnp.ndarray:
-    """(D, 18, N) raw volume DIA data via the fused kernel (TPU, f32)."""
+    """(D, 16, W) raw volume DIA data via the fused kernel (TPU, f32).
+
+    W = N rounded up to a 128-lane multiple (never exceeds the kernel's
+    natural nb*e width): downstream keeps the matrix at this aligned
+    width (FSDIAMatrixT.num_node) so the Pallas SpMV never relayouts or
+    pads the ~190 MB array per matvec. Pad columns are garbage (dead-cell
+    tau divisions can make them NaN) and must stay behind the num_node
+    fence."""
     if interpret is None:
         interpret = INTERPRET_FUSED
     e, dmax, n = block or _EF_LHS, lctx.dmax, lctx.num_node
@@ -765,7 +801,8 @@ def jacobian_fused(
         e=e, nb=nb, dmax=dmax, goff=dmax, phys=phys, scheme=scheme,
         interpret=interpret,
     )
-    return out[:nrow, :n].reshape(num_planes, 16, n)
+    w = -(-n // 128) * 128
+    return out[:nrow, :w].reshape(num_planes, 16, w)
 
 
 def _lhs_call(

@@ -238,21 +238,21 @@ def norm_shardmap(device_mesh: DeviceMesh, axis: str):
 
 
 def dia_matvec_ppermute(device_mesh: DeviceMesh, axis: str, offsets: tuple):
-    """Returns matvec(data_t, x_t) for the component-major DIA matrix
-    (sparse.fsbsr.FSDIAMatrixT layout) with data (D, 18, N) and x (6, N)
-    both sharded on the node axis over `axis`, using ppermute boundary
-    bands as the ONLY communication.
+    """Returns matvec(data_t, scal_t, x_t) for the component-major DIA
+    matrix (sparse.fsbsr.FSDIAMatrixT layout) with data (D, 16, N),
+    scal (2*D, N) and x (6, N) all sharded on the node axis over `axis`,
+    using ppermute boundary bands as the ONLY communication.
 
     Requires the banded structure of contiguous-ordered meshes:
     max|offset| <= local rows per shard. Ring wrap contributions are
     masked to zero (the matrix has no wrap-around couplings)."""
-    from dedflow_tpu.sparse.fsbsr import PHIPHI, PP, PU, TT, UP, UU
+    from dedflow_tpu.sparse.fsbsr import PP, PU, UP, UU
 
     nparts = int(device_mesh.devices.size)
     dmax = max(max(abs(o) for o in offsets), 1)
 
-    def kernel(data_l, x_l):
-        # data_l (D, 18, L), x_l (6, L) local rows
+    def kernel(data_l, scal_l, x_l):
+        # data_l (D, 16, L), scal_l (2D, L), x_l (6, L) local rows
         l = x_l.shape[1]
         if dmax > l:
             raise ValueError(
@@ -302,13 +302,14 @@ def dia_matvec_ppermute(device_mesh: DeviceMesh, axis: str, offsets: tuple):
                 axis=0,
             )
         )
-        y.append(jnp.sum(d[:, PHIPHI] * xs[:, 4], axis=0))
-        y.append(jnp.sum(d[:, TT] * xs[:, 5], axis=0))
+        sc = scal_l.reshape(len(offsets), 2, l)
+        y.append(jnp.sum(sc[:, 0] * xs[:, 4], axis=0))
+        y.append(jnp.sum(sc[:, 1] * xs[:, 5], axis=0))
         return jnp.stack(y)
 
     return jax.shard_map(
         kernel,
         mesh=device_mesh,
-        in_specs=(P(None, None, axis), P(None, axis)),
+        in_specs=(P(None, None, axis), P(None, axis), P(None, axis)),
         out_specs=P(None, axis),
     )

@@ -126,7 +126,10 @@ def _cast_operator(jmat, dtype):
         a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a
     )
     if hasattr(jmat, "backend"):
-        return _dc.replace(jmat, data=cast(jmat.data), backend="xla")
+        kw = dict(data=cast(jmat.data), backend="xla")
+        if hasattr(jmat, "scal"):
+            kw["scal"] = cast(jmat.scal)
+        return _dc.replace(jmat, **kw)
     return jax.tree_util.tree_map(cast, jmat)
 
 

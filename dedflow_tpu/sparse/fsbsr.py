@@ -298,21 +298,33 @@ def diag_add_rows(mask_t: jnp.ndarray, dtype) -> jnp.ndarray:
 @jax.tree_util.register_dataclass
 @dataclass
 class FSDIAMatrixT:
-    """Component-major DIA field-split matrix: data (D, 18, N) with the
-    node axis on LANES (minor dim) — the TPU-native layout.
+    """Component-major DIA field-split matrix: data (D, 16, N) holding
+    the velocity/pressure packed components (UU, UP, PU, PP) with the
+    node axis on LANES (minor dim), plus scal (2*D, N) holding the two
+    scalar diagonal components (row 2k = phi-phi of plane k, row 2k+1 =
+    T-T) — the TPU-native layout.
 
     Rationale (measured on v5e): XLA fuses static shifted lane-slices at
-    ~2.4 TB/s effective, while any gather runs at 4-50 GB/s; with 18-wide
+    ~2.4 TB/s effective, while any gather runs at 4-50 GB/s; with
     component rows on sublanes and N on lanes, the SpMV, the row masking,
     the diagonal extraction, and the PC apply are all pure dense row ops
     over (.., N) arrays. Vectors travel as (6, N) (component-major), the
     transpose of the (N, 6) state layout used at the API boundary.
 
+    The 16/2 split is layout-driven: XLA's default layout for
+    (D, 18, N) is {2,0,1} (it minimizes the 18->24 sublane tile pad),
+    which conflicts with the Pallas SpMV kernel's {2,1,0} operand
+    constraint and forced a ~190 MB relayout copy per matvec. With 16
+    sublane rows (no tile pad) the default IS {2,1,0}, the custom call
+    consumes the assembly output in place, and the two scalar rows ride
+    a 2*D-row XLA pass.
+
     Same packed component order as FSBSRMatrix; replaces the reference's
     4x4 cuSPARSE submatrix grid (matrix.h:93-103) on lattice meshes.
     """
 
-    data: jnp.ndarray  # (D, 18, N)
+    data: jnp.ndarray  # (D, 16, W) with W >= num_node (see below)
+    scal: jnp.ndarray  # (2*D, W) phi-phi / T-T rows per plane
     offsets: tuple = dataclass_field(metadata=dict(static=True))
     # "pallas" = fused halo-window TPU SpMV (sparse.dia_kernels, f32);
     # "xla" = shifted-slice formulation (any dtype / any backend).
@@ -323,10 +335,35 @@ class FSDIAMatrixT:
     shard: tuple | None = dataclass_field(
         default=None, metadata=dict(static=True)
     )
+    # Logical row-block count N when data carries LANE-ALIGNED padding
+    # (width W = 128-multiple >= N, straight off the fused assembly
+    # kernel). Keeping the pad avoids a ~190 MB relayout/pad of the
+    # matrix per matvec (the Pallas SpMV constrains operand layouts);
+    # pad columns may hold garbage/NaN - every consumer below reads
+    # data[..., :N], which fuses as an offset read (free), and the SpMV
+    # kernel's pad lanes are annihilated by x's zero tail before the
+    # [:, :N] output slice. None = data width is exact.
+    num_node: int | None = dataclass_field(
+        default=None, metadata=dict(static=True)
+    )
 
     @property
     def num_rows(self) -> int:
-        return int(self.data.shape[2])
+        return int(self.num_node or self.data.shape[2])
+
+    @property
+    def _d(self) -> jnp.ndarray:
+        """data narrowed to the logical width (a fusible read-slice)."""
+        if self.num_node is None or self.num_node == self.data.shape[2]:
+            return self.data
+        return self.data[..., : self.num_node]
+
+    @property
+    def _s(self) -> jnp.ndarray:
+        """scal narrowed to the logical width."""
+        if self.num_node is None or self.num_node == self.scal.shape[1]:
+            return self.scal
+        return self.scal[..., : self.num_node]
 
     def matvec_t(self, x_t: jnp.ndarray) -> jnp.ndarray:
         """(6, N) -> (6, N): gather-free SpMV."""
@@ -334,19 +371,20 @@ class FSDIAMatrixT:
             from dedflow_tpu.sparse.dia_kernels import dia_matvec_pallas_shmap
 
             return dia_matvec_pallas_shmap(
-                self.data, x_t, self.offsets, self.shard
+                self.data, self.scal, x_t, self.offsets, self.shard
             ).astype(x_t.dtype)
         if self.backend == "pallas":
             from dedflow_tpu.sparse.dia_kernels import dia_matvec_pallas
 
-            return dia_matvec_pallas(self.data, x_t, self.offsets).astype(
-                x_t.dtype
-            )
-        n = self.data.shape[2]
+            return dia_matvec_pallas(
+                self.data, self.scal, x_t, self.offsets
+            ).astype(x_t.dtype)
+        d = self._d
+        s = self._s
+        n = d.shape[2]
         offs = self.offsets
         m = max(max(abs(o) for o in offs), 1)
         xpad = jnp.pad(x_t, ((0, 0), (m, m)))
-        d = self.data
         # (D, 6, N) shifted copies of x, then plane-axis reductions: the
         # measured-fastest pure-XLA formulation (sum over the leading axis
         # vectorizes; one mega-fusion of 15 shifted streams does not).
@@ -372,8 +410,10 @@ class FSDIAMatrixT:
                 axis=0,
             )
         )
-        y.append(jnp.sum(d[:, PHIPHI] * xs[:, 4], axis=0))
-        y.append(jnp.sum(d[:, TT] * xs[:, 5], axis=0))
+        nd = len(offs)
+        sc = s.reshape(nd, 2, n)
+        y.append(jnp.sum(sc[:, 0] * xs[:, 4], axis=0))
+        y.append(jnp.sum(sc[:, 1] * xs[:, 5], axis=0))
         return jnp.stack(y)
 
     def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -383,7 +423,7 @@ class FSDIAMatrixT:
     # -- component-restricted matvecs (SIMPLE/Schur PC, solver.pc) -----
     def _xs_stack(self, x: jnp.ndarray) -> jnp.ndarray:
         """(k, N) rows -> (D, k, N) stack of offset-shifted copies."""
-        n = self.data.shape[2]
+        n = x.shape[1]
         m = max(max(abs(o) for o in self.offsets), 1)
         xpad = jnp.pad(x, ((0, 0), (m, m)))
         return jnp.stack(
@@ -396,7 +436,7 @@ class FSDIAMatrixT:
     def matvec_up(self, p: jnp.ndarray) -> jnp.ndarray:
         """(N,) pressure -> (3, N) velocity rows: the A_up block only."""
         ps = self._xs_stack(p[None, :])[:, 0]  # (D, N)
-        d = self.data
+        d = self._d
         return jnp.stack(
             [jnp.sum(d[:, UP(i)] * ps, axis=0) for i in range(3)]
         )
@@ -404,7 +444,7 @@ class FSDIAMatrixT:
     def matvec_pu(self, u: jnp.ndarray) -> jnp.ndarray:
         """(3, N) velocity -> (N,) pressure row: the A_pu block only."""
         us = self._xs_stack(u)  # (D, 3, N)
-        d = self.data
+        d = self._d
         return jnp.sum(
             d[:, PU(0)] * us[:, 0]
             + d[:, PU(1)] * us[:, 1]
@@ -415,7 +455,7 @@ class FSDIAMatrixT:
     def matvec_pp(self, p: jnp.ndarray) -> jnp.ndarray:
         """(N,) -> (N,): the A_pp block only."""
         ps = self._xs_stack(p[None, :])[:, 0]
-        return jnp.sum(self.data[:, PP] * ps, axis=0)
+        return jnp.sum(self._d[:, PP] * ps, axis=0)
 
     # ------------------------------------------------------------------
     @property
@@ -424,7 +464,10 @@ class FSDIAMatrixT:
 
     def diag_rows(self) -> jnp.ndarray:
         """(18, N) packed diagonal-block rows (PC setup)."""
-        return self.data[self._d0]
+        d0 = self._d0
+        return jnp.concatenate(
+            [self._d[d0], self._s[2 * d0 : 2 * d0 + 2]], axis=0
+        )
 
     def schur_diag(self, duinv_rows: jnp.ndarray) -> jnp.ndarray:
         """(N,) diagonal of the approximate pressure Schur complement
@@ -434,7 +477,7 @@ class FSDIAMatrixT:
         diag entry n = A_pp[0][n] - sum_o sum_ij pu_i[o][n] *
         duinv[ij][n+o] * up_j[-o][n+o]: all shifted-row products (135
         terms), gather-free on the lattice."""
-        d = self.data
+        d = self._d
         n = d.shape[2]
         m = max(max(abs(o) for o in self.offsets), 1)
         neg = {o: k for k, o in enumerate(self.offsets)}
@@ -464,14 +507,23 @@ class FSDIAMatrixT:
         dtype = self.data.dtype
         keep_pc = keep_pc_rows(mask_t, dtype)  # (18, N)
         add18 = diag_add_rows(mask_t, dtype) if unit_diag else None
+        d = self._d
+        s = self._s
+        nd = d.shape[0]
+        keep_s = jnp.concatenate([keep_pc[16:18]] * nd, axis=0)
         planes = []
-        for k in range(self.data.shape[0]):
-            p = self.data[k] * keep_pc
+        for k in range(nd):
+            p = d[k] * keep_pc[:16]
             if add18 is not None and k == self._d0:
-                p = p + add18
+                p = p + add18[:16]
             planes.append(p)
+        scal = s * keep_s
+        if add18 is not None:
+            d0 = self._d0
+            pads = ((2 * d0, 2 * (nd - 1 - d0)), (0, 0))
+            scal = scal + jnp.pad(add18[16:18], pads)
         return FSDIAMatrixT(
-            data=jnp.stack(planes), offsets=self.offsets,
+            data=jnp.stack(planes), scal=scal, offsets=self.offsets,
             backend=self.backend, shard=self.shard,
         )
 
@@ -479,6 +531,9 @@ class FSDIAMatrixT:
         return self.zero_rows_t(row_mask.T, unit_diag)
 
     def to_block_dense(self) -> np.ndarray:
+        d = self._d
+        s = self._s.reshape(d.shape[0], 2, d.shape[2])
+        d18 = jnp.concatenate([d, s], axis=1)
         return FSDIAMatrix(
-            data=jnp.transpose(self.data, (0, 2, 1)), offsets=self.offsets
+            data=jnp.transpose(d18, (0, 2, 1)), offsets=self.offsets
         ).to_block_dense()

@@ -190,10 +190,13 @@ def test_dia_spmv_kernel_interpret_matches_xla():
     rng = np.random.RandomState(0)
     d = len(lctx.offsets)
     n = mesh.num_node
-    data = jnp.asarray(rng.randn(d, 18, n), jnp.float32)
-    mat = FSDIAMatrixT(data=data, offsets=lctx.offsets, backend="xla")
+    data = jnp.asarray(rng.randn(d, 16, n), jnp.float32)
+    scal = jnp.asarray(rng.randn(2 * d, n), jnp.float32)
+    mat = FSDIAMatrixT(
+        data=data, scal=scal, offsets=lctx.offsets, backend="xla"
+    )
     x = jnp.asarray(rng.randn(6, n), jnp.float32)
-    y_int = dia_matvec_pallas(data, x, lctx.offsets, interpret=True)
+    y_int = dia_matvec_pallas(data, scal, x, lctx.offsets, interpret=True)
     np.testing.assert_allclose(
         np.asarray(y_int), np.asarray(mat.matvec_t(x)), rtol=2e-5, atol=1e-4
     )

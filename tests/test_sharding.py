@@ -249,9 +249,12 @@ def test_ppermute_halo_spmv_matches_and_no_allgather():
     data_sh = jax.device_put(
         jmat.data, NamedSharding(dmesh, P(None, None, "dd"))
     )
+    scal_sh = jax.device_put(
+        jmat.scal, NamedSharding(dmesh, P(None, "dd"))
+    )
     x_sh = jax.device_put(x, NamedSharding(dmesh, P(None, "dd")))
-    mv_c = jax.jit(mv).lower(data_sh, x_sh).compile()
-    y = mv_c(data_sh, x_sh)
+    mv_c = jax.jit(mv).lower(data_sh, scal_sh, x_sh).compile()
+    y = mv_c(data_sh, scal_sh, x_sh)
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=1e-11)
 
     hlo = mv_c.as_text()

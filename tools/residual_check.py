@@ -65,7 +65,9 @@ def main() -> None:
         lctx64, solver.face_ctxs, solver.mask, wa, dwa, cfg.physics, cfg.time
     )
     j32 = type(j64)(
-        data=j64.data.astype(jnp.float32), offsets=j64.offsets, backend=j64.backend
+        data=j64.data.astype(jnp.float32),
+        scal=j64.scal.astype(jnp.float32),
+        offsets=j64.offsets, backend=j64.backend,
     )
     pc32 = NSFieldSplitPCT.from_diag_rows(j32.diag_rows())
     bnorm = float(jnp.linalg.norm(f64.reshape(-1)))

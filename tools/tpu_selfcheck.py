@@ -72,7 +72,12 @@ def main() -> None:
         # volume planes only
         from dedflow_tpu.fem.pallas_kernels import lhs_rows_call
 
-        jp = jacobian_fused(lp, wa.T, cfg.physics, cfg.time)
+        # fused kernel emits a 128-lane-aligned width W >= N whose pad
+        # columns are garbage (behind FSDIAMatrixT.num_node) - compare
+        # the real columns only
+        jp = jacobian_fused(lp, wa.T, cfg.physics, cfg.time)[
+            :, :, : lx.num_node
+        ]
         jx = jnp.stack(
             _reduce_lhs_planes(
                 lx,
