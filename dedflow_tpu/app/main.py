@@ -86,11 +86,12 @@ def build_argparser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--pc",
-        choices=["fieldsplit", "simple"],
+        choices=["fieldsplit", "simple", "mg"],
         default=None,
         help="Krylov preconditioner (fieldsplit = reference block-Jacobi "
         "decomposition; simple = SIMPLE pressure-Schur, ~2.5x fewer "
-        "GMRES iterations)",
+        "GMRES iterations; mg = SIMPLE with a geometric-multigrid Schur "
+        "solve, the AMG-class option - lattice fast path only)",
     )
     p.add_argument(
         "--fixed-newton",

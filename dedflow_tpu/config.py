@@ -112,11 +112,17 @@ class KrylovConfig:
     # decomposition (krylov.c:440-452); "simple" = SIMPLE-type pressure
     # Schur complement (solver.pc.SIMPLEPC/SIMPLEPCT on the general/
     # lattice paths; ~2.5x fewer GMRES iterations on the cavity
-    # benchmark at the same converged residuals).
+    # benchmark at the same converged residuals); "mg" = SIMPLE with a
+    # geometric-multigrid Schur solve (solver.mg.MGSIMPLEPCT, lattice
+    # path - the AMG-class option the reference delegates to AmgX,
+    # pc.c:160-235).
     pc: str = "fieldsplit"
     # damped-Jacobi sweeps of the approximate Schur solve (pc="simple")
     pc_schur_sweeps: int = 6
     pc_schur_omega: float = 0.8
+    # V-cycle-preconditioned Richardson iterations of the Schur solve
+    # (pc="mg")
+    pc_mg_outer: int = 2
     # Linear-solve precision (the reference is f64 end to end,
     # common.h:21-59):
     #   "state" - solve in the state dtype (f32 TPU fast path; f64 when

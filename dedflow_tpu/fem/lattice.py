@@ -101,6 +101,9 @@ class LatticeContext:
     # independent, so the fused kernel skips those 2 components (16-row
     # aligned accumulator) and the masking pass adds them back.
     mult: jnp.ndarray | None = None
+    # node-grid shape (gx, gy, gz) = (nx+1, ny+1, nz+1): consumed by the
+    # geometric-multigrid preconditioner (solver.mg)
+    dims: tuple | None = field(default=None, metadata=dict(static=True))
 
     @property
     def num_elem(self) -> int:  # live tets (for flop accounting)
@@ -250,6 +253,7 @@ def build_lattice_context(
         num_node_real=n,
         res_geom8=res_geom8,
         mult=jnp.asarray(mult),
+        dims=(nx + 1, ny + 1, nz + 1),
     )
 
 
@@ -622,6 +626,35 @@ def _lhs_fused_kernel(
     acc, sem_s, sem_g,
     *, args, e, dmax, goff, deltas, plane_tab, num_planes,
 ):
+    _lhs_fused_body(
+        state_hbm, geom_hbm, None, None, None, out_ref, carry_ref, win,
+        gbuf, inp_buf, acc, None, None, sem_s, sem_g, None, None,
+        args=args, e=e, dmax=dmax, goff=goff, deltas=deltas,
+        plane_tab=plane_tab, num_planes=num_planes, d0=0, band_segs=(),
+    )
+
+
+def _lhs_fused_kernel_masked(
+    state_hbm, geom_hbm, keep_hbm, add_hbm, band_hbm, out_ref, carry_ref,
+    win, gbuf, inp_buf, acc, kabuf, bandbuf, sem_s, sem_g, sem_k, sem_b,
+    *, args, e, dmax, goff, deltas, plane_tab, num_planes, d0, band_segs,
+):
+    _lhs_fused_body(
+        state_hbm, geom_hbm, keep_hbm, add_hbm, band_hbm, out_ref,
+        carry_ref, win, gbuf, inp_buf, acc, kabuf, bandbuf, sem_s, sem_g,
+        sem_k, sem_b,
+        args=args, e=e, dmax=dmax, goff=goff, deltas=deltas,
+        plane_tab=plane_tab, num_planes=num_planes, d0=d0,
+        band_segs=band_segs,
+    )
+
+
+def _lhs_fused_body(
+    state_hbm, geom_hbm, keep_hbm, add_hbm, band_hbm, out_ref, carry_ref,
+    win, gbuf, inp_buf, acc, kabuf, bandbuf, sem_s, sem_g, sem_k, sem_b,
+    *, args, e, dmax, goff, deltas, plane_tab, num_planes, d0, band_segs,
+):
+    masked = keep_hbm is not None
     k = pl.program_id(0)
     pltpu.make_async_copy(
         state_hbm.at[:, pl.ds(k * e, e + dmax)], win, sem_s
@@ -629,6 +662,19 @@ def _lhs_fused_kernel(
     pltpu.make_async_copy(
         geom_hbm.at[0, :, pl.ds(k * e + goff, e)], gbuf.at[0], sem_g.at[0]
     ).start()
+    if masked:
+        # Dirichlet keep/add factors, precomputed in XLA as (16, W) rows:
+        # DMA'ing them costs 2 thin reads per block; fusing the masking
+        # here deletes the full read+write XLA pass over the (D, 16, N)
+        # output (~2 GB at 1M tets). [The reverted round-3 variant BUILT
+        # the factors in VMEM - a (272, E) concat per block - which is
+        # what cost ~5 ms, not the masking itself.]
+        pltpu.make_async_copy(
+            keep_hbm.at[:, pl.ds(k * e, e)], kabuf.at[0], sem_k.at[0]
+        ).start()
+        pltpu.make_async_copy(
+            add_hbm.at[:, pl.ds(k * e, e)], kabuf.at[1], sem_k.at[1]
+        ).start()
     _carry_shift(acc, k, e, dmax)
     pltpu.make_async_copy(
         state_hbm.at[:, pl.ds(k * e, e + dmax)], win, sem_s
@@ -666,11 +712,37 @@ def _lhs_fused_kernel(
                 acc[sl, da : da + e] = (
                     acc[sl, da : da + e] + upd[s : s + 16, :]
                 )
-    # NOTE Dirichlet masking is deliberately NOT fused here: building
-    # the per-plane keep/add factors in VMEM costs a (272, E) sublane
-    # concat per block, measured ~5 ms at 1M tets - far more than the
-    # single XLA elementwise pass over the (D, 18, N) output it saves.
-    out_ref[:, :] = acc[:, :e]
+    if masked:
+        pltpu.make_async_copy(
+            keep_hbm.at[:, pl.ds(k * e, e)], kabuf.at[0], sem_k.at[0]
+        ).wait()
+        pltpu.make_async_copy(
+            add_hbm.at[:, pl.ds(k * e, e)], kabuf.at[1], sem_k.at[1]
+        ).wait()
+        for p in range(num_planes):
+            sl = slice(p * 16, (p + 1) * 16)
+            rows = acc[sl, :e] * kabuf[0]
+            if p == d0:
+                rows = rows + kabuf[1]
+            out_ref[sl, :] = rows
+        # pre-masked facet bands: lane-aligned static segments, added to
+        # the (at most two) blocks each band overlaps
+        for kb, oc, sc, ln in band_segs:
+
+            @pl.when(k == kb)
+            def _(oc=oc, sc=sc, ln=ln):
+                cp = pltpu.make_async_copy(
+                    band_hbm.at[:, pl.ds(sc, ln)],
+                    bandbuf.at[:, pl.ds(0, ln)],
+                    sem_b,
+                )
+                cp.start()
+                cp.wait()
+                out_ref[:, oc : oc + ln] = (
+                    out_ref[:, oc : oc + ln] + bandbuf[:, :ln]
+                )
+    else:
+        out_ref[:, :] = acc[:, :e]
     carry_ref[:, :] = acc[:, e:]
 
 

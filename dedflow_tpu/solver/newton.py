@@ -77,14 +77,33 @@ def assemble_system(
     ctx, face_ctxs, mask, wgold, dwgold, dwg, phys, scheme,
     chunk=None, scatter_method="segment", scalar_implicit=False,
     elements_kernel="xla", pc_type="fieldsplit", pc_sweeps=6, pc_omega=0.8,
+    pc_mg_outer=2,
 ):
     """Assemble the Jacobian + its preconditioner at the current state.
     pc_type "simple" (lattice path) builds the SIMPLE pressure-Schur PC
     (solver.pc.SIMPLEPCT) instead of the reference's block-Jacobi
-    decomposition."""
+    decomposition; "mg" upgrades the Schur solve to geometric multigrid
+    (solver.mg.MGSIMPLEPCT - the reference's AMG-class option,
+    pc.c:160-235)."""
     wa, dwa = ns.alpha_states(wgold, dwgold, dwg, scheme)
     if isinstance(ctx, LatticeContext):
         jmat = assemble_jacobian_t(ctx, face_ctxs, mask, wa, dwa, phys, scheme)
+        if pc_type == "mg" and ctx.shard is not None:
+            import warnings
+
+            warnings.warn(
+                "krylov.pc='mg' is not yet supported on the sharded lattice "
+                "path (the V-cycle reshapes are not shard-local); falling "
+                "back to the SIMPLE preconditioner",
+                stacklevel=2,
+            )
+            pc_type = "simple"
+        if pc_type == "mg":
+            from dedflow_tpu.solver.mg import MGSIMPLEPCT
+
+            return jmat, MGSIMPLEPCT.from_matrix(
+                jmat, dims=ctx.dims, outer=pc_mg_outer
+            )
         if pc_type == "simple":
             from dedflow_tpu.solver.pc import SIMPLEPCT
 
@@ -96,6 +115,17 @@ def assemble_system(
         ctx, face_ctxs, mask, wa, dwa, phys, scheme, chunk, scatter_method,
         scalar_implicit, elements_kernel,
     )
+    if pc_type == "mg":
+        # the geometric hierarchy needs the lattice node grid; on the
+        # general (unstructured) path SIMPLE is the strongest option
+        import warnings
+
+        warnings.warn(
+            "krylov.pc='mg' requires the lattice fast path (structured "
+            "node grid); falling back to the SIMPLE preconditioner",
+            stacklevel=2,
+        )
+        pc_type = "simple"
     if pc_type == "simple" and hasattr(jmat, "matvec_up"):
         from dedflow_tpu.solver.pc import SIMPLEPC
 
@@ -218,7 +248,7 @@ def newton_iter(
     ctx, face_ctxs, mask, wgold, dwgold, dwg, f, phys, scheme, kcfg, freeze,
     chunk=None, scatter_method="segment", scalar_implicit=False, source=None,
     elements_kernel="xla", nodal_force=None, pc_type="fieldsplit",
-    pc_sweeps=6, pc_omega=0.8,
+    pc_sweeps=6, pc_omega=0.8, pc_mg_outer=2,
 ):
     """One Newton iteration (main.c:157-279 body): assemble J, solve
     GMRES(J) dx = F, update dwg, reassemble F. Returns
@@ -226,7 +256,7 @@ def newton_iter(
     jmat, pc = assemble_system(
         ctx, face_ctxs, mask, wgold, dwgold, dwg, phys, scheme, chunk,
         scatter_method, scalar_implicit, elements_kernel, pc_type,
-        pc_sweeps, pc_omega,
+        pc_sweeps, pc_omega, pc_mg_outer,
     )
     return solve_update(
         ctx, face_ctxs, mask, jmat, pc, wgold, dwgold, dwg, f, phys, scheme,
@@ -274,6 +304,7 @@ def step_fixed(
     pc_type="fieldsplit",
     pc_sweeps=6,
     pc_omega=0.8,
+    pc_mg_outer=2,
 ):
     """One full time step with a fixed Newton iteration count, suitable for
     a single jit with zero host syncs (benchmarks, sharded execution)."""
@@ -287,7 +318,7 @@ def step_fixed(
         jmat, pc = assemble_system(
             ctx, face_ctxs, mask, wgold, dwgold, dwg, phys, scheme, chunk,
             scatter_method, scalar_implicit, elements_kernel, pc_type,
-            pc_sweeps, pc_omega,
+            pc_sweeps, pc_omega, pc_mg_outer,
         )
 
         def body(_, carry):
@@ -307,6 +338,7 @@ def step_fixed(
                 ctx, face_ctxs, mask, wgold, dwgold, dwg, f, phys, scheme, kcfg,
                 freeze, chunk, scatter_method, scalar_implicit, source,
                 elements_kernel, nodal_force, pc_type, pc_sweeps, pc_omega,
+                pc_mg_outer,
             )
             return dwg, f
 
@@ -396,6 +428,7 @@ class NSSolver:
             pc_type=getattr(kcfg, "pc", "fieldsplit"),
             pc_sweeps=getattr(kcfg, "pc_schur_sweeps", 6),
             pc_omega=getattr(kcfg, "pc_schur_omega", 0.8),
+            pc_mg_outer=getattr(kcfg, "pc_mg_outer", 2),
         )
 
         self._residual = jax.jit(
@@ -418,6 +451,7 @@ class NSSolver:
                 pc_type=getattr(kcfg, "pc", "fieldsplit"),
                 pc_sweeps=getattr(kcfg, "pc_schur_sweeps", 6),
                 pc_omega=getattr(kcfg, "pc_schur_omega", 0.8),
+                pc_mg_outer=getattr(kcfg, "pc_mg_outer", 2),
             )
         )
         self._solve_update = jax.jit(
