@@ -300,16 +300,23 @@ def bench_assembly_spmv(platform):
     # this one rewards both a stronger PC and cheaper iterations).
     solves = {}
     if lat:
+        from dedflow_tpu.solver.mg import MGSIMPLEPCT
         from dedflow_tpu.solver.pc import NSFieldSplitPCT, SIMPLEPCT
 
+        restart = int(os.environ.get("DEDFLOW_BENCH_RESTART", 0)) or None
+        dims = ctx.dims
         variants = {
             "fieldsplit": (
                 lambda jm: NSFieldSplitPCT.from_diag_rows(jm.diag_rows()),
-                None,
+                restart,
             ),
             "simple": (
                 lambda jm: SIMPLEPCT.from_matrix(jm, sweeps=6, omega=0.8),
-                int(os.environ.get("DEDFLOW_BENCH_RESTART", 32)),
+                restart,
+            ),
+            "mg": (
+                lambda jm: MGSIMPLEPCT.from_matrix(jm, dims=dims),
+                restart,
             ),
         }
         for name, (mkpc, restart) in variants.items():

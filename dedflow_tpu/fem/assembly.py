@@ -315,7 +315,9 @@ def _grouped_scatter(ctx: FEMContext, upd, slot_table, width: int):
         slot_table.reshape(n, g * 4, 1)
         == jnp.arange(width, dtype=jnp.int32)[None, None, :]
     ).astype(upd.dtype)
-    return jnp.einsum("ngc,ngp->npc", vals, onehot)
+    # precision="highest": the TPU default lowers einsum to bf16 MXU
+    # passes (~1e-3 relative error on the summed updates)
+    return jnp.einsum("ngc,ngp->npc", vals, onehot, precision="highest")
 
 
 def scatter_matrix_dia(ctx: FEMContext, upd: jnp.ndarray) -> jnp.ndarray:
@@ -335,7 +337,9 @@ def scatter_matrix_dia(ctx: FEMContext, upd: jnp.ndarray) -> jnp.ndarray:
         ctx.grp_plane.reshape(n, g * 4, 1)
         == jnp.arange(width, dtype=jnp.int32)[None, None, :]
     ).astype(upd.dtype)
-    return jnp.einsum("ngc,ngp->pnc", vals, onehot)
+    # precision="highest": the TPU default lowers einsum to bf16 MXU
+    # passes (~1e-3 relative error on the summed updates)
+    return jnp.einsum("ngc,ngp->pnc", vals, onehot, precision="highest")
 
 
 def fsbsr_from_data(ctx: FEMContext, data: jnp.ndarray):

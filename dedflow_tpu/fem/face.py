@@ -66,6 +66,13 @@ class FaceContext:
     mat_slot_idx: jnp.ndarray | None = None  # (D*span, Km) into nf*16
     node_row_lo: int = field(default=0, metadata=dict(static=True))
     node_row_span: int = field(default=0, metadata=dict(static=True))
+    # grouped band plan (lattice fast path): whole (f, a) groups per band
+    # row, gathered as 4x18-float rows. TPU gather bandwidth scales ~10x
+    # with row width, so this replaces the mat_slot_idx narrow-row gather
+    # (measured 2.5 ms -> ~0.4 ms at 6k facets, face_dia_band_grouped).
+    band_gidx: jnp.ndarray | None = None  # (span*Gb,) into nf*4, fill=nf*4
+    band_plane: jnp.ndarray | None = None  # (span*Gb*4,) plane per (g, b)
+    band_gw: int = field(default=0, metadata=dict(static=True))  # Gb
 
 
 def _slot_plan(targets: np.ndarray, num_slots: int) -> np.ndarray:
@@ -135,7 +142,35 @@ def build_face_context(
         mat_slot_idx = jnp.asarray(
             _slot_plan(pos_t, len(uniq) * dia_row_span)
         )
+        # grouped band plan: (f, a) incidences per band row + their
+        # per-b plane ids (see FaceContext.band_gidx)
+        ga_rows = ien_np.ravel().astype(np.int64) - dia_row_lo
+        ng = ga_rows.size
+        gcounts = np.bincount(ga_rows, minlength=dia_row_span)
+        gb = max(int(gcounts.max()), 1) if ng else 1
+        order = np.argsort(ga_rows, kind="stable")
+        start = np.zeros(dia_row_span, dtype=np.int64)
+        start[1:] = np.cumsum(gcounts)[:-1]
+        offs_in = np.arange(ng) - start[ga_rows[order]]
+        gidx_np = np.full((dia_row_span, gb), ng, dtype=np.int64)
+        gidx_np[ga_rows[order], offs_in] = order
+        ien64 = ien_np.astype(np.int64)
+        plane_fab = np.searchsorted(
+            uniq, ien64[:, None, :] - ien64[:, :, None]  # [f,a,b] = col-row
+        ).reshape(-1, 4)  # (nf*4, 4): plane of col ien[f,b] - row ien[f,a]
+        bp = np.zeros((dia_row_span, gb, 4), dtype=np.int32)
+        valid = gidx_np < ng
+        bp[valid] = plane_fab[gidx_np[valid]]
+        band_gidx = jnp.asarray(gidx_np.reshape(-1).astype(np.int32))
+        band_plane = jnp.asarray(bp.reshape(-1))
+        band_gw = gb
+    else:
+        band_gidx = band_plane = None
+        band_gw = 0
     return FaceContext(
+        band_gidx=band_gidx,
+        band_plane=band_plane,
+        band_gw=band_gw,
         mat_perm_dia=mat_perm_dia,
         mat_targets_dia=mat_targets_dia,
         mat_perm_dia_t=mat_perm_dia_t,
@@ -404,6 +439,33 @@ def face_dia_band(
     )
     out = jnp.sum(flat[fctx.mat_slot_idx], axis=1)
     return out.reshape(num_planes, span, upd.shape[1]).transpose(0, 2, 1)
+
+
+def face_dia_band_grouped(
+    fctx: FaceContext, upd: jnp.ndarray, num_planes: int
+) -> jnp.ndarray:
+    """(nf*16, 18) packed facet updates -> dense (D, 18, span) block (same
+    result as face_dia_band) via whole-(f, a)-group gathers.
+
+    The mat_slot_idx plan gathers 18-float rows one (f, a, b) update at a
+    time - narrow-row TPU gathers run ~10x off the wide-row rate, and
+    this gather measured 2.5 ms of the 3.9 ms facet Jacobian cost at 6k
+    facets. Gathering the 4x18-float (f, a) group rows and contracting
+    the 4 b-updates onto their DIA planes with a one-hot einsum (same
+    pattern as assembly.scatter_matrix_dia) is ~5x faster."""
+    span, gb, nc = fctx.dia_row_span, fctx.band_gw, upd.shape[1]
+    rows = jnp.take(
+        upd.reshape(-1, 4 * nc), fctx.band_gidx, axis=0,
+        mode="fill", fill_value=0,
+    )  # (span*Gb, 4*18)
+    vals = rows.reshape(span, gb * 4, nc)
+    onehot = (
+        fctx.band_plane.reshape(span, gb * 4, 1)
+        == jnp.arange(num_planes, dtype=jnp.int32)[None, None, :]
+    ).astype(upd.dtype)
+    # precision="highest": the TPU default lowers einsum to bf16 MXU
+    # passes (~1e-3 relative error on the summed updates)
+    return jnp.einsum("ngc,ngp->pcn", vals, onehot, precision="highest")
 
 
 def scatter_face_residual(

@@ -43,6 +43,7 @@ from dedflow_tpu.fem import pallas_kernels as pk
 from dedflow_tpu.fem.element import tet_geometry
 from dedflow_tpu.fem.face import (
     face_dia_band,
+    face_dia_band_grouped,
     face_dia_block,
     face_lhs_packed,
     face_residual_band,
@@ -434,63 +435,87 @@ def assemble_jacobian_t(
     mask_t = mask.T
     if lctx.rows_backend == "pallas":
         # fused carry-accumulator kernel: element body computed exactly
-        # once, the (6, 288, npad) HBM intermediate never exists. Masking
-        # + unit diagonal + facet bands operate on the STACKED (D, 18, N)
-        # array with broadcast multiplies and static-band updates: the
-        # unstack/process/restack per-plane formulation below defeats
-        # XLA's fusion and was measured ~6 ms slower at 1M tets.
-        if lctx.shard is not None:
-            vol = jacobian_fused_shmap(lctx, w_alpha.T, phys, scheme)
-        else:
-            vol = jacobian_fused(lctx, w_alpha.T, phys, scheme)
+        # once, the (6, 288, npad) HBM intermediate never exists.
         keep_pc = keep_pc_rows(mask_t, dtype)
         add18 = diag_add_rows(mask_t, dtype)
         d0 = lctx.offsets.index(0)
-        # vol may be WIDER than N (128-lane-aligned, jacobian_fused):
-        # carry the alignment through to the stored matrix so the SpMV
-        # kernel never pads/relayouts it; mask/diag rows pad with zeros
-        # (pad columns are garbage behind FSDIAMatrixT.num_node).
-        n = vol.shape[2]
         nreal = lctx.num_node
+        # pre-masked facet bands: the velocity/pressure rows ride the
+        # fused kernel (in-kernel static-segment adds), the two scalar
+        # rows join the XLA scal pass below.
+        bands, scal_bands = [], []
+        for fctx in face_ctxs:
+            upd = face_lhs_packed(fctx, w_alpha, dw_alpha, phys, scheme)
+            if fctx.band_gidx is not None:
+                mk = face_dia_band_grouped
+            elif fctx.mat_slot_idx is not None:
+                mk = face_dia_band
+            else:
+                mk = face_dia_block
+            blk = mk(fctx, upd, num_planes).astype(dtype)
+            lo, span = fctx.dia_row_lo, fctx.dia_row_span
+            band_keep = jax.lax.slice_in_dim(keep_pc, lo, lo + span, axis=1)
+            blk = blk * band_keep[None]
+            bands.append((blk[:, :16].reshape(num_planes * 16, span), lo))
+            scal_bands.append(
+                (blk[:, 16:].reshape(2 * num_planes, span), lo, span)
+            )
+        fuse_mask = lctx.shard is None and sum(
+            (lo + b.shape[1] - 1) // _EF_LHS - lo // _EF_LHS + 1
+            for b, lo in bands
+        ) <= 16
+        if fuse_mask:
+            # masking + unit diagonal + facet bands INSIDE the kernel
+            # (keep/add row windows are DMA'd per block): the final
+            # (D, 16, W) data leaves the kernel finished, deleting the
+            # full read+write XLA pass over it (~2 GB at 1M tets).
+            vol = jacobian_fused(
+                lctx, w_alpha.T, phys, scheme,
+                keep16=keep_pc[:16], add16=add18[:16], bands=tuple(bands),
+            )
+            n = vol.shape[2]
+            data16 = vol.astype(dtype)
+        else:
+            if lctx.shard is not None:
+                vol = jacobian_fused_shmap(lctx, w_alpha.T, phys, scheme)
+            else:
+                vol = jacobian_fused(lctx, w_alpha.T, phys, scheme)
+            # vol may be WIDER than N (128-lane-aligned, jacobian_fused):
+            # carry the alignment through to the stored matrix so the SpMV
+            # kernel never pads/relayouts it; mask/diag rows pad with
+            # zeros (pad columns are garbage behind FSDIAMatrixT.num_node)
+            n = vol.shape[2]
         if n != nreal:
             wpad = ((0, 0), (0, n - nreal))
             keep_pc = jnp.pad(keep_pc, wpad)
             add18 = jnp.pad(add18, wpad)
-        # One fused elementwise pass builds the final (D, 18, N) array:
-        # masking multiply, phi/T multiplicity planes, unit diagonal and
-        # facet bands are all expressed as broadcast multiplies / pad+add
-        # (dynamic-update-slice `.at[].add` forms copy the whole ~200 MB
-        # array per use - measured ~1.3 ms each in the r3 profile).
-        oneh = jnp.zeros((vol.shape[0], 1, 1), dtype).at[d0].set(1.0)
+        if not fuse_mask:
+            # One fused elementwise pass builds the final (D, 18, N)
+            # array: masking multiply, unit diagonal and facet bands as
+            # broadcast multiplies / pad+add (dynamic-update-slice
+            # `.at[].add` forms copy the whole ~200 MB array per use -
+            # measured ~1.3 ms each in the r3 profile).
+            oneh = jnp.zeros((vol.shape[0], 1, 1), dtype).at[d0].set(1.0)
+            data16 = vol.astype(dtype) * keep_pc[None, :16]
+            data16 = data16 + oneh * add18[None, :16]
+            for band16, lo in bands:
+                span = band16.shape[1]
+                data16 = data16 + jnp.pad(
+                    band16.reshape(num_planes, 16, span),
+                    ((0, 0), (0, 0), (lo, n - lo - span)),
+                )
         # phi-phi / T-T identity components: state-independent nodal
         # multiplicity (see LatticeContext.mult), d0 plane only
         mult = lctx.mult.astype(dtype)[:, :nreal]
         if n != nreal:
             mult = jnp.pad(mult, ((0, 0), (0, n - nreal)))
         sc = mult * keep_pc[16:18] + add18[16:18]  # (2, W)
-        data16 = vol.astype(dtype) * keep_pc[None, :16]
-        data16 = data16 + oneh * add18[None, :16]
         # scal rows (2*D, W): phi-phi / T-T live on the d0 plane only
         scal = jnp.pad(
             sc, ((2 * d0, 2 * (num_planes - 1 - d0)), (0, 0))
         )
-        for fctx in face_ctxs:
-            upd = face_lhs_packed(fctx, w_alpha, dw_alpha, phys, scheme)
-            mk = (
-                face_dia_band
-                if fctx.mat_slot_idx is not None
-                else face_dia_block
-            )
-            blk = mk(fctx, upd, num_planes).astype(dtype)
-            lo, span = fctx.dia_row_lo, fctx.dia_row_span
-            band_keep = jax.lax.slice_in_dim(keep_pc, lo, lo + span, axis=1)
-            blk = blk * band_keep[None]
-            pads = ((0, 0), (0, 0), (lo, n - lo - span))
-            data16 = data16 + jnp.pad(blk[:, :16], pads)
-            scal = scal + jnp.pad(
-                blk[:, 16:].reshape(2 * num_planes, span),
-                ((0, 0), (lo, n - lo - span)),
-            )
+        for sblk, lo, span in scal_bands:
+            scal = scal + jnp.pad(sblk, ((0, 0), (lo, n - lo - span)))
         return FSDIAMatrixT(
             data=data16, scal=scal, offsets=lctx.offsets, backend="pallas",
             shard=lctx.shard, num_node=None if n == nreal else nreal,
@@ -506,7 +531,12 @@ def assemble_jacobian_t(
     face_blks = []
     for fctx in face_ctxs:
         upd = face_lhs_packed(fctx, w_alpha, dw_alpha, phys, scheme)
-        mk = face_dia_band if fctx.mat_slot_idx is not None else face_dia_block
+        if fctx.band_gidx is not None:
+            mk = face_dia_band_grouped
+        elif fctx.mat_slot_idx is not None:
+            mk = face_dia_band
+        else:
+            mk = face_dia_block
         face_blks.append(
             (mk(fctx, upd, num_planes).astype(dtype),
              fctx.dia_row_lo, fctx.dia_row_span)
@@ -851,15 +881,23 @@ def jacobian_fused(
     scheme: TimeScheme,
     interpret: bool | None = None,
     block: int | None = None,  # lane-block override (tests: force nb > 1)
+    keep16: jnp.ndarray | None = None,  # (16, N) Dirichlet keep factors
+    add16: jnp.ndarray | None = None,  # (16, N) unit-diagonal adds
+    bands: tuple = (),  # ((nrow, span) pre-masked facet rows, lo), ...
 ) -> jnp.ndarray:
-    """(D, 16, W) raw volume DIA data via the fused kernel (TPU, f32).
+    """(D, 16, W) volume DIA data via the fused kernel (TPU, f32).
+
+    With keep16/add16 the output is FINAL: Dirichlet-masked, unit
+    diagonal on the 0-offset plane, facet `bands` added in-kernel - the
+    post-assembly XLA pass over the (D, 16, N) array (~2 GB of HBM
+    traffic at 1M tets) never runs. Without them the output is raw and
+    pad columns are garbage (dead-cell tau divisions can make them NaN);
+    masked output pads are exact zeros (keep16 pads with 0).
 
     W = N rounded up to a 128-lane multiple (never exceeds the kernel's
     natural nb*e width): downstream keeps the matrix at this aligned
     width (FSDIAMatrixT.num_node) so the Pallas SpMV never relayouts or
-    pads the ~190 MB array per matvec. Pad columns are garbage (dead-cell
-    tau divisions can make them NaN) and must stay behind the num_node
-    fence."""
+    pads the ~190 MB array per matvec."""
     if interpret is None:
         interpret = INTERPRET_FUSED
     e, dmax, n = block or _EF_LHS, lctx.dmax, lctx.num_node
@@ -867,11 +905,41 @@ def jacobian_fused(
     num_planes = len(lctx.offsets)
     nrow = num_planes * 16
     state = _fused_state_rows([wa_t[:3]], nb * e + dmax)
+    kw = {}
+    if keep16 is not None:
+        wk = nb * e
+        padw = lambda a: jnp.pad(
+            a.astype(jnp.float32), ((0, 0), (0, wk - a.shape[1]))
+        )
+        segs, parts, col = [], [], 0
+        for band, lo in bands:
+            span = band.shape[1]
+            for kb in range(lo // e, (lo + span - 1) // e + 1):
+                g0, g1 = max(lo, kb * e), min(lo + span, (kb + 1) * e)
+                oc, ln = g0 - kb * e, g1 - g0
+                oc_a = (oc // 128) * 128
+                end_a = min(-(-(oc + ln) // 128) * 128, e)
+                seg = jnp.pad(
+                    band[:, g0 - lo : g1 - lo].astype(jnp.float32),
+                    ((0, 0), (oc - oc_a, end_a - (oc + ln))),
+                )
+                parts.append(seg)
+                segs.append((kb, oc_a, col, end_a - oc_a))
+                col += end_a - oc_a
+        band_hbm = (
+            jnp.concatenate(parts, axis=1)
+            if parts
+            else jnp.zeros((nrow, 128), jnp.float32)
+        )
+        kw = dict(
+            keep=padw(keep16), add=padw(add16), band=band_hbm,
+            band_segs=tuple(segs), d0=lctx.offsets.index(0),
+        )
     out, _ = _lhs_call(
         state, lctx.lhs_geom.astype(jnp.float32), lctx.deltas,
         lctx.plane_tab, num_planes,
         e=e, nb=nb, dmax=dmax, goff=dmax, phys=phys, scheme=scheme,
-        interpret=interpret,
+        interpret=interpret, **kw,
     )
     w = -(-n // 128) * 128
     return out[:nrow, :w].reshape(num_planes, 16, w)
@@ -880,48 +948,79 @@ def jacobian_fused(
 def _lhs_call(
     state, geom, deltas, plane_tab, num_planes,
     *, e, nb, dmax, goff, phys, scheme, interpret,
+    keep=None, add=None, band=None, band_segs=(), d0=0,
 ):
     """Run the Jacobian kernel. state (8, nb*e + dmax); geometry windows
     read at [k*e + goff, +e). Returns ((r8, nb*e) raw DIA rows,
-    (r8, dmax) final carry)."""
+    (r8, dmax) final carry).
+
+    With keep/add (16, nb*e) the kernel writes MASKED rows (Dirichlet
+    keep factors + unit-diagonal adds on plane d0) and adds the
+    pre-masked facet `band` (r8, W) at the lane-aligned static segments
+    `band_segs` = ((block, out_col, src_col, len), ...)."""
     args = dict(
         rho=float(phys.rho), mu=float(phys.mu),
         f1=float(scheme.fact_dw), f2=float(scheme.fact_w),
         dt=float(scheme.dt),
     )
-    kern = _partial(
-        _lhs_fused_kernel, args=args, e=e, dmax=dmax, goff=goff,
-        deltas=deltas, plane_tab=plane_tab, num_planes=num_planes,
-    )
     r8 = -(-(num_planes * 16) // 8) * 8
-    return pl.pallas_call(
-        kern,
+    common = dict(
         out_shape=(
             jax.ShapeDtypeStruct((r8, nb * e), jnp.float32),
             jax.ShapeDtypeStruct((r8, dmax), jnp.float32),
         ),
         grid=(nb,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
         out_specs=(
             pl.BlockSpec((r8, e), lambda k: (0, k)),
             pl.BlockSpec((r8, dmax), lambda k: (0, 0)),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((8, e + dmax), jnp.float32),
-            pltpu.VMEM((2, 16, e), jnp.float32),
-            pltpu.VMEM((27, e), jnp.float32),
-            pltpu.VMEM((r8, e + dmax), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024
         ),
         interpret=interpret,
-    )(state, geom)
+    )
+    base_scratch = [
+        pltpu.VMEM((8, e + dmax), jnp.float32),
+        pltpu.VMEM((2, 16, e), jnp.float32),
+        pltpu.VMEM((27, e), jnp.float32),
+        pltpu.VMEM((r8, e + dmax), jnp.float32),
+    ]
+    if keep is None:
+        kern = _partial(
+            _lhs_fused_kernel, args=args, e=e, dmax=dmax, goff=goff,
+            deltas=deltas, plane_tab=plane_tab, num_planes=num_planes,
+        )
+        return pl.pallas_call(
+            kern,
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            scratch_shapes=base_scratch + [
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            **common,
+        )(state, geom)
+    max_ln = max([ln for _, _, _, ln in band_segs], default=128)
+    kern = _partial(
+        _lhs_fused_kernel_masked, args=args, e=e, dmax=dmax, goff=goff,
+        deltas=deltas, plane_tab=plane_tab, num_planes=num_planes,
+        d0=d0, band_segs=tuple(band_segs),
+    )
+    return pl.pallas_call(
+        kern,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 5,
+        scratch_shapes=base_scratch + [
+            pltpu.VMEM((2, 16, e), jnp.float32),
+            pltpu.VMEM((r8, max_ln), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        **common,
+    )(state, geom, keep, add, band)
 
 
 # ---------------------------------------------------------------------------

@@ -203,3 +203,32 @@ def test_face_lhs_packed_matches_elements(solvers):
         flat = np.asarray(ej).reshape(fctx.num_facet * 16, 6, 6)
         expect = np.stack([flat[:, bi, bj] for _, bi, bj in COMP_SLOTS], -1)
         np.testing.assert_allclose(np.asarray(packed), expect, atol=1e-13)
+
+
+def test_face_dia_band_grouped_matches_slot_plan():
+    """The wide-row grouped facet band (face_dia_band_grouped) equals the
+    counting-sort slot-plan band on random updates (incl. the
+    precision='highest' guard against bf16 einsum lowering on TPU)."""
+    import numpy as np
+
+    from dedflow_tpu.app.scenarios import reference_scenario_config
+    from dedflow_tpu.fem import face as ff
+    from dedflow_tpu.fem.assembly import build_context
+    from dedflow_tpu.mesh.gen import box_mesh
+    from dedflow_tpu.sparse.topology import build_sparsity
+
+    mesh = box_mesh(6, 6, 6)
+    cfg = reference_scenario_config()
+    sp = build_sparsity(mesh.ien, mesh.num_node, extra_ien=mesh.extra_cells)
+    ctx = build_context(mesh, sp)
+    b = [bc.boundary for bc in cfg.bcs if bc.weak][0]
+    fctx = ff.build_face_context(mesh, ctx, sp, b)
+    assert fctx.band_gidx is not None
+    rng = np.random.default_rng(0)
+    upd = jnp.asarray(rng.standard_normal((fctx.num_facet * 16, 18)))
+    d = len(ctx.dia_offsets)
+    a1 = ff.face_dia_band(fctx, upd, d)
+    a2 = ff.face_dia_band_grouped(fctx, upd, d)
+    np.testing.assert_allclose(
+        np.asarray(a1), np.asarray(a2), rtol=1e-10, atol=1e-10
+    )
