@@ -73,6 +73,9 @@ class FaceContext:
     band_gidx: jnp.ndarray | None = None  # (span*Gb,) into nf*4, fill=nf*4
     band_plane: jnp.ndarray | None = None  # (span*Gb*4,) plane per (g, b)
     band_gw: int = field(default=0, metadata=dict(static=True))  # Gb
+    # state-independent facet Jacobian band (D, 18, span), precomputed by
+    # solver setup (face_lhs_static_band); None = compute per assembly
+    lhs_static_band: jnp.ndarray | None = None
 
 
 def _slot_plan(targets: np.ndarray, num_slots: int) -> np.ndarray:
@@ -320,16 +323,34 @@ def face_lhs_packed(
     assemble.cu:1127-1193)."""
     dtype = w_alpha.dtype
     gwb = jnp.asarray(quad.GWB, dtype=dtype)
-    rho, mu = phys.rho, phys.mu
+    rho = phys.rho
+    shlb = fctx.shlb
+    u_qb, _, _ = _facet_fields(fctx, w_alpha, dw_alpha)
+    unor = jnp.einsum("fqi,fi->fq", u_qb, fctx.nv)
+    uneg = 0.5 * (unor - jnp.abs(unor))
+    # backflow stabilization: the ONLY state-dependent facet LHS term
+    # (assemble.cu:1079-1080, 1152-1166)
+    t_uneg = -rho * jnp.einsum("q,fqa,fqb,fq->fab", gwb, shlb, shlb, uneg)
+    return _face_lhs_packed_from(fctx, t_uneg, phys, scheme, dtype)
+
+
+def _face_lhs_packed_from(
+    fctx: FaceContext,
+    t_uneg: jnp.ndarray | None,
+    phys: Physics,
+    scheme: TimeScheme,
+    dtype,
+) -> jnp.ndarray:
+    """face_lhs_packed with the state-dependent backflow term passed in
+    (None = drop it: the state-independent part, precomputable once per
+    (mesh, phys, scheme) - see face_lhs_static_band)."""
+    gwb = jnp.asarray(quad.GWB, dtype=dtype)
+    mu = phys.mu
     f2 = scheme.fact_w
     nv = fctx.nv
     shlb = fctx.shlb
-    u_qb, _, _ = _facet_fields(fctx, w_alpha, dw_alpha)
     tau_b = _tau_b(fctx, mu)
     shnorm = jnp.einsum("fai,fi->fa", fctx.shgrad, nv)
-
-    unor = jnp.einsum("fqi,fi->fq", u_qb, nv)
-    uneg = 0.5 * (unor - jnp.abs(unor))
 
     # velocity diagonal scalar part (assemble.cu:1152-1166)
     t_diag = (
@@ -338,9 +359,10 @@ def face_lhs_packed(
             jnp.einsum("q,fb,fqa->fab", gwb, shnorm, shlb)
             + jnp.einsum("q,fa,fqb->fab", gwb, shnorm, shlb)
         )
-        - rho * jnp.einsum("q,fqa,fqb,fq->fab", gwb, shlb, shlb, uneg)
         + tau_b[:, None, None] * jnp.einsum("q,fqa,fqb->fab", gwb, shlb, shlb)
     )
+    if t_uneg is not None:
+        t_diag = t_diag + t_uneg
     # consistency terms (assemble.cu:1171-1181): t_full[...,i,j] =
     # -mu*(G_i[f,a,b]*nv_j + G_j[f,b,a]*nv_i) with
     # G_i = sum_q gwb_q shlb[f,q,a] shgrad[f,b,i]
@@ -466,6 +488,82 @@ def face_dia_band_grouped(
     # precision="highest": the TPU default lowers einsum to bf16 MXU
     # passes (~1e-3 relative error on the summed updates)
     return jnp.einsum("ngc,ngp->pcn", vals, onehot, precision="highest")
+
+
+# components UU(0,0), UU(1,1), UU(2,2) in the packed order: the backflow
+# term is a SCALAR times the velocity-diagonal identity
+_BACKFLOW_SEL = (0, 4, 8)
+
+
+def face_lhs_static_band(
+    fctx: FaceContext, phys: Physics, scheme: TimeScheme, num_planes: int,
+    dtype,
+) -> jnp.ndarray:
+    """(D, 18, span) state-INDEPENDENT facet Jacobian band, precomputed
+    once per (mesh, phys, scheme) at solver setup.
+
+    Of the reference facet LHS (assemble.cu:1127-1193) only the backflow
+    stabilization depends on the state (through uneg = min(u.n, 0),
+    assemble.cu:1079-1080); the penalty, consistency and pressure
+    couplings are pure geometry x constants. Splitting them means the
+    per-assembly facet cost drops from the full einsum pipeline + 72-wide
+    grouped gather (~1.3 ms at 1M tets / 6k facets) to the thin backflow
+    scalar band (face_lhs_backflow_band)."""
+    upd = _face_lhs_packed_from(fctx, None, phys, scheme, dtype)
+    return face_dia_band_grouped(fctx, upd, num_planes)
+
+
+def face_lhs_backflow_band(
+    fctx: FaceContext,
+    w_alpha: jnp.ndarray,
+    phys: Physics,
+    scheme: TimeScheme,
+    num_planes: int,
+) -> jnp.ndarray:
+    """(D, span) backflow scalar band: the state-dependent facet LHS.
+
+    The backflow term contributes fact_w * (-rho) * sum_q gwb_q
+    shlb[f,q,a] shlb[f,q,b] uneg[f,q] identically to the three velocity
+    diagonal components UU(i,i) - a scalar per (f, a, b). It rides the
+    same whole-(f, a)-group gather plan as face_dia_band_grouped, with
+    4-float rows (delta[f,a,:]) instead of 72-float rows."""
+    dtype = w_alpha.dtype
+    gwb = jnp.asarray(quad.GWB, dtype=dtype)
+    shlb = fctx.shlb
+    u_e = w_alpha[fctx.ien, :3]
+    u_qb = jnp.einsum("fqa,fai->fqi", shlb, u_e)
+    unor = jnp.einsum("fqi,fi->fq", u_qb, fctx.nv)
+    uneg = 0.5 * (unor - jnp.abs(unor))
+    cq = (-phys.rho * scheme.fact_w) * gwb[None, :] * uneg  # (nf, q)
+    delta = jnp.einsum("fq,fqa,fqb->fab", cq, shlb, shlb)  # (nf, 4, 4)
+    span, gb = fctx.dia_row_span, fctx.band_gw
+    rows = jnp.take(
+        delta.reshape(-1, 4), fctx.band_gidx, axis=0,
+        mode="fill", fill_value=0,
+    )  # (span*Gb, 4)
+    vals = rows.reshape(span, gb * 4)
+    onehot = (
+        fctx.band_plane.reshape(span, gb * 4, 1)
+        == jnp.arange(num_planes, dtype=jnp.int32)[None, None, :]
+    ).astype(dtype)
+    return jnp.einsum("ng,ngp->pn", vals, onehot, precision="highest")
+
+
+def face_lhs_band_split(
+    fctx: FaceContext,
+    w_alpha: jnp.ndarray,
+    phys: Physics,
+    scheme: TimeScheme,
+    num_planes: int,
+) -> jnp.ndarray:
+    """(D, 18, span) facet Jacobian band = precomputed static band +
+    backflow scalar on the velocity-diagonal components. Requires
+    fctx.lhs_static_band (set by solver setup)."""
+    dyn = face_lhs_backflow_band(fctx, w_alpha, phys, scheme, num_planes)
+    sel = jnp.zeros((18,), dyn.dtype).at[jnp.array(_BACKFLOW_SEL)].set(1.0)
+    return fctx.lhs_static_band.astype(dyn.dtype) + (
+        dyn[:, None, :] * sel[None, :, None]
+    )
 
 
 def scatter_face_residual(

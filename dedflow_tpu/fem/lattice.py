@@ -45,6 +45,7 @@ from dedflow_tpu.fem.face import (
     face_dia_band,
     face_dia_band_grouped,
     face_dia_block,
+    face_lhs_band_split,
     face_lhs_packed,
     face_residual_band,
     face_residual_elements,
@@ -419,6 +420,26 @@ def assemble_residual_t(
     return jnp.where(mask.T, jnp.zeros((), f.dtype), f)
 
 
+def _face_band(
+    fctx, w_alpha, dw_alpha, phys, scheme, num_planes: int, dtype
+) -> jnp.ndarray:
+    """(D, 18, span) facet Jacobian band for one boundary. Uses the
+    static+backflow split when solver setup precomputed the static band
+    (face.face_lhs_static_band), else the full per-call pipeline."""
+    if fctx.lhs_static_band is not None:
+        return face_lhs_band_split(
+            fctx, w_alpha, phys, scheme, num_planes
+        ).astype(dtype)
+    upd = face_lhs_packed(fctx, w_alpha, dw_alpha, phys, scheme)
+    if fctx.band_gidx is not None:
+        mk = face_dia_band_grouped
+    elif fctx.mat_slot_idx is not None:
+        mk = face_dia_band
+    else:
+        mk = face_dia_block
+    return mk(fctx, upd, num_planes).astype(dtype)
+
+
 def assemble_jacobian_t(
     lctx: LatticeContext,
     face_ctxs: tuple,
@@ -443,23 +464,18 @@ def assemble_jacobian_t(
         # pre-masked facet bands: the velocity/pressure rows ride the
         # fused kernel (in-kernel static-segment adds), the two scalar
         # rows join the XLA scal pass below.
-        bands, scal_bands = [], []
+        bands = []
         for fctx in face_ctxs:
-            upd = face_lhs_packed(fctx, w_alpha, dw_alpha, phys, scheme)
-            if fctx.band_gidx is not None:
-                mk = face_dia_band_grouped
-            elif fctx.mat_slot_idx is not None:
-                mk = face_dia_band
-            else:
-                mk = face_dia_block
-            blk = mk(fctx, upd, num_planes).astype(dtype)
+            blk = _face_band(
+                fctx, w_alpha, dw_alpha, phys, scheme, num_planes, dtype
+            )
             lo, span = fctx.dia_row_lo, fctx.dia_row_span
             band_keep = jax.lax.slice_in_dim(keep_pc, lo, lo + span, axis=1)
             blk = blk * band_keep[None]
+            # facet terms never touch the phi/T rows (components 16/17 are
+            # identically zero, face_lhs_packed) - only the 16 vel/p rows
+            # carry into the matrix; no scal-band pass needed.
             bands.append((blk[:, :16].reshape(num_planes * 16, span), lo))
-            scal_bands.append(
-                (blk[:, 16:].reshape(2 * num_planes, span), lo, span)
-            )
         fuse_mask = lctx.shard is None and sum(
             (lo + b.shape[1] - 1) // _EF_LHS - lo // _EF_LHS + 1
             for b, lo in bands
@@ -514,8 +530,6 @@ def assemble_jacobian_t(
         scal = jnp.pad(
             sc, ((2 * d0, 2 * (num_planes - 1 - d0)), (0, 0))
         )
-        for sblk, lo, span in scal_bands:
-            scal = scal + jnp.pad(sblk, ((0, 0), (lo, n - lo - span)))
         return FSDIAMatrixT(
             data=data16, scal=scal, offsets=lctx.offsets, backend="pallas",
             shard=lctx.shard, num_node=None if n == nreal else nreal,
@@ -528,19 +542,14 @@ def assemble_jacobian_t(
     # the boundary's contiguous row range, added with STATIC slices; the
     # Dirichlet masking + unit diagonal fuse into the same per-plane pass
     # (dynamic scatters here copy the whole matrix, measured ~17 ms/1M).
-    face_blks = []
-    for fctx in face_ctxs:
-        upd = face_lhs_packed(fctx, w_alpha, dw_alpha, phys, scheme)
-        if fctx.band_gidx is not None:
-            mk = face_dia_band_grouped
-        elif fctx.mat_slot_idx is not None:
-            mk = face_dia_band
-        else:
-            mk = face_dia_block
-        face_blks.append(
-            (mk(fctx, upd, num_planes).astype(dtype),
-             fctx.dia_row_lo, fctx.dia_row_span)
+    face_blks = [
+        (
+            _face_band(fctx, w_alpha, dw_alpha, phys, scheme, num_planes,
+                       dtype),
+            fctx.dia_row_lo, fctx.dia_row_span,
         )
+        for fctx in face_ctxs
+    ]
     keep_pc = keep_pc_rows(mask_t, dtype)
     add18 = diag_add_rows(mask_t, dtype)
     d0 = lctx.offsets.index(0)

@@ -25,9 +25,9 @@ Components:
 - `MGSIMPLEPCT`: the SIMPLE pressure-Schur preconditioner (solver.pc.
   SIMPLEPCT) with the damped-Jacobi Schur solve replaced by V-cycle-
   preconditioned Richardson on S_hat = A_pp - A_pu inv(D_u) A_up. The
-  hierarchy is built on A_pp with its diagonal replaced by the exact
-  S_hat diagonal (FSDIAMatrixT.schur_diag), so smoothing and the outer
-  iteration target the same operator.
+  hierarchy is built on the plain A_pp stencil (see the measurement note
+  in `MGSIMPLEPCT.from_matrix`); S_hat enters only through the outer
+  Richardson residual.
 
 Wrap-around correctness: a linear offset o at a grid border wraps to an
 unrelated row, but the lattice assembly's dead-cell construction makes
@@ -250,16 +250,18 @@ class MGSIMPLEPCT:
         from dedflow_tpu.sparse.fsbsr import PP
 
         base = NSFieldSplitPCT.from_diag_rows(mat.diag_rows())
-        s_diag = mat.schur_diag(base.inv_vel_rows)
-        safe = jnp.where(jnp.abs(s_diag) > 1e-30, s_diag, 1.0)
         n = mat.num_rows
         assert n == dims[0] * dims[1] * dims[2], (
             f"grid {dims} does not match {n} pressure rows"
         )
+        # Hierarchy on the PLAIN A_pp stencil. Replacing its diagonal
+        # with the exact S_hat diagonal was measured to WRECK the cycle
+        # (111 vs 24 GMRES iterations on the reference state at 16^3):
+        # the override makes each level's smoother inconsistent with its
+        # own off-diagonals. S_hat enters only through the outer
+        # Richardson residual in _schur_solve.
         app = mat._d[:, PP, :]  # (D, N) pressure-block plane rows
-        levels = build_hierarchy(
-            app, mat.offsets, dims, diag_override=safe, min_nodes=min_nodes
-        )
+        levels = build_hierarchy(app, mat.offsets, dims, min_nodes=min_nodes)
         return MGSIMPLEPCT(
             mat=mat,
             levels=levels,

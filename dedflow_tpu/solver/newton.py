@@ -417,6 +417,27 @@ class NSSolver:
                 )
         self.solve_ctx = self.lctx if self.lctx is not None else self.ctx
 
+        if self.lctx is not None and self.face_ctxs:
+            # Precompute the state-independent facet Jacobian bands once:
+            # per-assembly facet work shrinks to the backflow scalar band
+            # (face.face_lhs_static_band docstring).
+            import dataclasses as _dc
+
+            from dedflow_tpu.fem.face import face_lhs_static_band
+
+            self.face_ctxs = tuple(
+                _dc.replace(
+                    fctx,
+                    lhs_static_band=face_lhs_static_band(
+                        fctx, cfg.physics, cfg.time,
+                        len(self.lctx.offsets), dtype,
+                    ),
+                )
+                if fctx.band_gidx is not None
+                else fctx
+                for fctx in self.face_ctxs
+            )
+
         phys, scheme, kcfg = cfg.physics, cfg.time, cfg.krylov
         freeze = cfg.freeze_phi_temperature
         chunk = cfg.assembly_chunk

@@ -9,17 +9,21 @@ of x in VMEM.
 Full-sublane formulation (round 3): the first version accumulated 270
 separate (1, E) row products - 1/8 sublane occupancy and ~17k vector-op
 issues per lane block, which capped it at ~0.9 ms / 220 GB/s effective.
-Here x is pre-expanded to packed-component rows (xe[c] = x[colcomp(c)]),
-so each DIA plane contributes ONE dense (16, E) fused-multiply-add
-against its (16, E) velocity/pressure data block, and the 4 vel/p output
-rows come from a final row-group reduction. ~8x fewer vector-op issues
-for identical arithmetic. The two scalar components (phi-phi / T-T) live
-in the separate (2*D, N) `scal` array and are applied by a small XLA
-shifted-slice pass in the wrapper: keeping the kernel's matrix operand
-at 16 sublane rows makes its DMA tile-aligned AND gives the array an
-XLA default layout ({2,1,0}) that matches the custom call's constraint
-- with 18 rows XLA defaults to {2,0,1} and inserts a ~190 MB relayout
-copy per matvec (measured 0.68 ms against a 0.35 ms kernel at 1M tets).
+Here the haloed x window is expanded IN VMEM to packed-component rows
+(xw[c] = x[colcomp(c)], 16 static row copies per block), so each DIA
+plane contributes ONE dense (16, E) fused-multiply-add against its
+(16, E) velocity/pressure data block, and the 4 vel/p output rows come
+from a final row-group reduction. ~8x fewer vector-op issues for
+identical arithmetic. The two scalar components (phi-phi / T-T) stream
+through the same kernel as a separate (2*D, E) block per step ((2, E)
+fmas against x rows 4/5), so one pass over HBM produces the finished
+(6, N) product - the earlier XLA side-passes (24-row x pre-expansion,
+shifted-slice scal pass, final concatenate) cost a measured ~0.07 ms of
+the 0.46 ms matvec at 1M tets and are deleted. Keeping the matrix
+operand at 16 sublane rows makes its DMA tile-aligned AND gives the
+array an XLA default layout ({2,1,0}) that matches the custom call's
+constraint - with 18 rows XLA defaults to {2,0,1} and inserts a ~190 MB
+relayout copy per matvec (measured 0.68 ms against a 0.35 ms kernel).
 
 Replaces the reference's per-submatrix cuSPARSE SpMV grid
 (MatrixFSAMVPBY, matrix.c:471-497) on lattice meshes.
@@ -35,7 +39,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from dedflow_tpu.sparse.fsbsr import COMP_SLOTS, PHIPHI, PP, PU, TT, UP, UU
+from dedflow_tpu.sparse.fsbsr import COMP_SLOTS
 
 _E = 8192  # lanes (rows of the matrix) per grid step
 
@@ -50,7 +54,8 @@ _ROW_OF_COMP = np.array([bi for _, bi, _ in COMP_SLOTS])  # (18,)
 
 
 def _mv_kernel(
-    xe_hbm, d_hbm, o_hbm, win, dbuf, obuf, sem_x, sem_d, sem_o,
+    xp_hbm, d_hbm, s_hbm, o_hbm, win, xw, dbuf, sbuf, obuf,
+    sem_x, sem_d, sem_s, sem_o,
     *, offsets, dpad, e, w, nblk,
 ):
     """All operands live in ANY (HBM) with manual DMA: a BlockSpec-mapped
@@ -61,36 +66,51 @@ def _mv_kernel(
     handled by CLAMPING the column start to w - e, recomputing a few
     overlap columns instead of padding the matrix."""
     k = pl.program_id(0)
-    nd = len(offsets)
 
     def dstart(j, slot):
         c0 = pl.multiple_of(jnp.minimum(j * e, w - e), 128)
-        return pltpu.make_async_copy(
-            d_hbm.at[:, :, pl.ds(c0, e)], dbuf.at[slot], sem_d.at[slot]
+        return (
+            pltpu.make_async_copy(
+                d_hbm.at[:, :, pl.ds(c0, e)], dbuf.at[slot], sem_d.at[slot]
+            ),
+            pltpu.make_async_copy(
+                s_hbm.at[:, pl.ds(c0, e)], sbuf.at[slot], sem_s.at[slot]
+            ),
         )
 
     c0 = pl.multiple_of(jnp.minimum(k * e, w - e), 128)
     cp_x = pltpu.make_async_copy(
-        xe_hbm.at[:, pl.ds(c0, e + 2 * dpad)], win, sem_x
+        xp_hbm.at[:, pl.ds(c0, e + 2 * dpad)], win, sem_x
     )
     cp_x.start()
 
     @pl.when(k == 0)
     def _():
-        dstart(0, 0).start()
+        for cp in dstart(0, 0):
+            cp.start()
 
     @pl.when(k + 1 < nblk)
     def _():
-        dstart(k + 1, (k + 1) % 2).start()
+        for cp in dstart(k + 1, (k + 1) % 2):
+            cp.start()
 
     slot = jax.lax.rem(k, jnp.int32(2))
-    dstart(k, slot).wait()
+    for cp in dstart(k, slot):
+        cp.wait()
     cp_x.wait()
 
+    # expand the x window to packed-component rows once per block
+    # (16 static row copies), so the plane loop is dense (16, e) fmas
+    for c in range(16):
+        col = int(_COL_OF_COMP[c])
+        xw[c : c + 1, :] = win[col : col + 1, :]
+
     acc = jnp.zeros((16, e), jnp.float32)
+    acc45 = jnp.zeros((2, e), jnp.float32)
     for kk, o in enumerate(offsets):
         s = dpad + o
-        acc = acc + dbuf[slot, kk] * win[:16, s : s + e]
+        acc = acc + dbuf[slot, kk] * xw[:, s : s + e]
+        acc45 = acc45 + sbuf[slot, 2 * kk : 2 * kk + 2] * win[4:6, s : s + e]
     rows = [None] * 4
     for c in range(16):
         r = int(_ROW_OF_COMP[c])
@@ -107,7 +127,8 @@ def _mv_kernel(
         ).wait()
 
     obuf[oslot, 0:4, :] = jnp.concatenate(rows, axis=0)
-    obuf[oslot, 4:8, :] = jnp.zeros((4, e), jnp.float32)
+    obuf[oslot, 4:6, :] = acc45
+    obuf[oslot, 6:8, :] = jnp.zeros((2, e), jnp.float32)
     pltpu.make_async_copy(
         obuf.at[oslot], o_hbm.at[:, pl.ds(c0, e)], sem_o.at[oslot]
     ).start()
@@ -127,13 +148,21 @@ def _mv_kernel(
         ).wait()
 
 
-def _dia_call(dmat, xe, offsets, *, e, dpad, interpret):
-    """dmat (D, 16, W) vel/p component rows, xe (24, W + 2*dpad) haloed
-    component-expanded x -> (8, W) product rows (0..3 = u, v, w, p; the
-    rest zero). W need not be a multiple of e (clamped overlapping final
-    block); requires W >= e."""
+def _dia_call(dmat, scal, xp, offsets, *, e, dpad, interpret):
+    """dmat (D, 16, W) vel/p component rows, scal (2*D, W) phi-phi/T-T
+    rows, xp (8, W + 2*dpad) haloed solution rows (rows 6/7 zero) ->
+    (8, W) product rows (0..3 = u, v, w, p; 4/5 = phi, T; 6/7 zero).
+    W need not be a multiple of e (clamped overlapping final block);
+    requires W >= e."""
     d, _, w = dmat.shape
     nblk = (w + e - 1) // e
+    # Mosaic DMA slices along the sublane dim must be 8-aligned: pad the
+    # scalar rows (2*D is 30 for the 15-offset stencil) up to a multiple
+    # of 8. The kernel's per-plane (2, e) reads are in-register vector
+    # ops and carry no such constraint.
+    sr = -(-scal.shape[0] // 8) * 8
+    if sr != scal.shape[0]:
+        scal = jnp.pad(scal, ((0, sr - scal.shape[0]), (0, 0)))
     kern = functools.partial(
         _mv_kernel, offsets=offsets, dpad=dpad, e=e, w=w, nblk=nblk
     )
@@ -144,13 +173,17 @@ def _dia_call(dmat, xe, offsets, *, e, dpad, interpret):
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((24, e + 2 * dpad), jnp.float32),
+            pltpu.VMEM((8, e + 2 * dpad), jnp.float32),
+            pltpu.VMEM((16, e + 2 * dpad), jnp.float32),
             pltpu.VMEM((2, d, 16, e), jnp.float32),
+            pltpu.VMEM((2, sr, e), jnp.float32),
             pltpu.VMEM((2, 8, e), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -158,13 +191,7 @@ def _dia_call(dmat, xe, offsets, *, e, dpad, interpret):
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(xe, dmat)
-
-
-def _expand_x(x_t: jnp.ndarray) -> jnp.ndarray:
-    """(6, N) -> (24, N): xe[c] = x[colcomp(c)], 24-row sublane padded."""
-    xe = x_t.astype(jnp.float32)[jnp.asarray(_COL_OF_COMP)]
-    return jnp.pad(xe, ((0, 6), (0, 0)))
+    )(xp, dmat, scal)
 
 
 def dia_matvec_pallas(
@@ -187,20 +214,19 @@ def dia_matvec_pallas(
         # this by emitting 128-aligned assembly output, num_node field).
         wp = max(-(-w // 128) * 128, 128)
         data = jnp.pad(data, ((0, 0), (0, 0), (0, wp - w)))
+        scal = jnp.pad(scal, ((0, 0), (0, wp - w)))
         w = wp
+    if scal.shape[1] != w:
+        scal = jnp.pad(scal, ((0, 0), (0, w - scal.shape[1])))
     e = min(_E, w)
-    xe = jnp.pad(_expand_x(x_t), ((0, 0), (dpad, dpad + w - n)))
-    out = _dia_call(data, xe, offsets, e=e, dpad=dpad, interpret=interpret)
-    # scalar comps (phi-phi / T-T): 2*D matrix rows via an XLA
-    # shifted-slice pass - see the module docstring (xe rows 16/17 are
-    # x[4]/x[5] per _COL_OF_COMP)
-    y45 = None
-    for kk, o in enumerate(offsets):
-        t = scal[2 * kk : 2 * kk + 2, :n] * jax.lax.slice_in_dim(
-            xe[16:18], dpad + o, dpad + o + n, axis=1
-        )
-        y45 = t if y45 is None else y45 + t
-    return jnp.concatenate([out[:4, :n], y45], axis=0)
+    xp = jnp.pad(
+        x_t.astype(jnp.float32), ((0, 2), (dpad, dpad + w - n))
+    )
+    out = _dia_call(
+        data, scal.astype(jnp.float32), xp, offsets,
+        e=e, dpad=dpad, interpret=interpret,
+    )
+    return out[:6, :n]
 
 
 def dia_matvec_pallas_shmap(
@@ -231,13 +257,13 @@ def dia_matvec_pallas_shmap(
         )
     e = next(s for s in range(min(_E, L), 127, -128) if L % s == 0)
 
-    def local(d_l, s_l, xe_l):
+    def local(d_l, s_l, x_l):
         left = jax.lax.ppermute(
-            xe_l[:, L - dpad :], axis,
+            x_l[:, L - dpad :], axis,
             [(i, (i + 1) % nparts) for i in range(nparts)],
         )
         right = jax.lax.ppermute(
-            xe_l[:, :dpad], axis,
+            x_l[:, :dpad], axis,
             [(i, (i - 1) % nparts) for i in range(nparts)],
         )
         idx = jax.lax.axis_index(axis)
@@ -245,16 +271,11 @@ def dia_matvec_pallas_shmap(
         right = jnp.where(
             idx == nparts - 1, jnp.zeros_like(right), right
         )
-        xw = jnp.concatenate([left, xe_l, right], axis=1)
-        out = _dia_call(d_l, xw, offsets, e=e, dpad=dpad, interpret=interpret)
-        ll = xe_l.shape[1]
-        y45 = None
-        for kk, o in enumerate(offsets):
-            t = s_l[2 * kk : 2 * kk + 2] * jax.lax.slice_in_dim(
-                xw[16:18], dpad + o, dpad + o + ll, axis=1
-            )
-            y45 = t if y45 is None else y45 + t
-        return jnp.concatenate([out[:4], y45], axis=0)
+        xw = jnp.concatenate([left, x_l, right], axis=1)
+        out = _dia_call(
+            d_l, s_l, xw, offsets, e=e, dpad=dpad, interpret=interpret
+        )
+        return out[:6]
 
     return jax.shard_map(
         local,
@@ -262,4 +283,8 @@ def dia_matvec_pallas_shmap(
         in_specs=(P(None, None, axis), P(None, axis), P(None, axis)),
         out_specs=P(None, axis),
         check_vma=False,
-    )(data.astype(jnp.float32), scal.astype(jnp.float32), _expand_x(x_t))
+    )(
+        data.astype(jnp.float32),
+        scal.astype(jnp.float32),
+        jnp.pad(x_t.astype(jnp.float32), ((0, 2), (0, 0))),
+    )

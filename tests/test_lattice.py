@@ -205,6 +205,45 @@ def test_face_lhs_packed_matches_elements(solvers):
         np.testing.assert_allclose(np.asarray(packed), expect, atol=1e-13)
 
 
+def test_face_lhs_static_split_matches_full(solvers):
+    """Precomputed-static + backflow-scalar facet band == the full
+    per-call packed band (the state-dependence split is exactly the
+    backflow term, assemble.cu:1079-1080)."""
+    import dataclasses as dc
+
+    from dedflow_tpu.fem import face as ff
+
+    mesh, cfg, gen, lat, state = solvers
+    wa, dwa = _alpha(cfg, state)
+    # make the backflow term ACTIVE (u.n < 0 somewhere on the boundary)
+    wa = wa.at[:, :3].add(
+        jnp.asarray(
+            np.random.default_rng(7).standard_normal((mesh.num_node, 3))
+        )
+    )
+    d = len(lat.lctx.offsets)
+    for fctx in lat.face_ctxs:
+        if fctx.band_gidx is None:
+            continue
+        full = ff.face_dia_band_grouped(
+            fctx, ff.face_lhs_packed(fctx, wa, dwa, cfg.physics, cfg.time), d
+        )
+        fctx_s = fctx
+        if fctx_s.lhs_static_band is None:
+            fctx_s = dc.replace(
+                fctx,
+                lhs_static_band=ff.face_lhs_static_band(
+                    fctx, cfg.physics, cfg.time, d, wa.dtype
+                ),
+            )
+        split = ff.face_lhs_band_split(
+            fctx_s, wa, cfg.physics, cfg.time, d
+        )
+        np.testing.assert_allclose(
+            np.asarray(split), np.asarray(full), rtol=1e-12, atol=1e-13
+        )
+
+
 def test_face_dia_band_grouped_matches_slot_plan():
     """The wide-row grouped facet band (face_dia_band_grouped) equals the
     counting-sort slot-plan band on random updates (incl. the
