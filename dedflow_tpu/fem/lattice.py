@@ -526,9 +526,11 @@ def assemble_jacobian_t(
         if n != nreal:
             mult = jnp.pad(mult, ((0, 0), (0, n - nreal)))
         sc = mult * keep_pc[16:18] + add18[16:18]  # (2, W)
-        # scal rows (2*D, W): phi-phi / T-T live on the d0 plane only
+        # scal rows (2*D, W), sublane-padded for the Pallas SpMV DMA:
+        # phi-phi / T-T live on the d0 plane only
+        srows = -(-2 * num_planes // 8) * 8
         scal = jnp.pad(
-            sc, ((2 * d0, 2 * (num_planes - 1 - d0)), (0, 0))
+            sc, ((2 * d0, srows - 2 - 2 * d0), (0, 0))
         )
         return FSDIAMatrixT(
             data=data16, scal=scal, offsets=lctx.offsets, backend="pallas",
@@ -578,9 +580,11 @@ def assemble_jacobian_t(
         final16.append(p16)
         final2.append(p2)
     backend = "pallas" if lctx.rows_backend == "pallas" else "xla"
+    from dedflow_tpu.sparse.fsbsr import pad_scal_rows
+
     return FSDIAMatrixT(
         data=jnp.stack(final16),
-        scal=jnp.concatenate(final2, axis=0),
+        scal=pad_scal_rows(jnp.concatenate(final2, axis=0)),
         offsets=lctx.offsets, backend=backend,
         shard=lctx.shard,
     )

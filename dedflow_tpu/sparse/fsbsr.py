@@ -295,6 +295,21 @@ def diag_add_rows(mask_t: jnp.ndarray, dtype) -> jnp.ndarray:
     return jnp.concatenate(rows, axis=0)
 
 
+def pad_scal_rows(scal: jnp.ndarray) -> jnp.ndarray:
+    """Zero-pad the scalar-plane rows (2*D) up to a multiple of 8.
+
+    The Pallas SpMV DMAs the scal block per grid step, and Mosaic
+    requires sublane-dim slices to be 8-aligned; padding ONCE at matrix
+    construction beats the kernel wrapper re-padding the full (2*D, N)
+    array on every matvec (a ~250 MB HBM copy at 1M tets, measured
+    +0.5 ms/matvec). Consumers read the logical rows via `_s`."""
+    r = scal.shape[0]
+    rp = -(-r // 8) * 8
+    if rp == r:
+        return scal
+    return jnp.pad(scal, ((0, rp - r), (0, 0)))
+
+
 @jax.tree_util.register_dataclass
 @dataclass
 class FSDIAMatrixT:
@@ -360,10 +375,12 @@ class FSDIAMatrixT:
 
     @property
     def _s(self) -> jnp.ndarray:
-        """scal narrowed to the logical width."""
-        if self.num_node is None or self.num_node == self.scal.shape[1]:
-            return self.scal
-        return self.scal[..., : self.num_node]
+        """scal narrowed to the logical rows (2*D; constructors store it
+        sublane-padded, see pad_scal_rows) and width."""
+        s = self.scal[: 2 * self.data.shape[0]]
+        if self.num_node is None or self.num_node == s.shape[1]:
+            return s
+        return s[..., : self.num_node]
 
     def matvec_t(self, x_t: jnp.ndarray) -> jnp.ndarray:
         """(6, N) -> (6, N): gather-free SpMV."""
@@ -523,7 +540,8 @@ class FSDIAMatrixT:
             pads = ((2 * d0, 2 * (nd - 1 - d0)), (0, 0))
             scal = scal + jnp.pad(add18[16:18], pads)
         return FSDIAMatrixT(
-            data=jnp.stack(planes), scal=scal, offsets=self.offsets,
+            data=jnp.stack(planes), scal=pad_scal_rows(scal),
+            offsets=self.offsets,
             backend=self.backend, shard=self.shard,
         )
 
