@@ -232,7 +232,7 @@ class MGSIMPLEPCT:
     This is the AMG-class option the reference delegates to AmgX
     (PCAMGX, pc.c:160-235), re-designed as structured multigrid."""
 
-    mat: object  # FSDIAMatrixT
+    bands: object  # sparse.fsbsr.SchurBandsT (compact A_pp/A_pu/A_up)
     levels: tuple  # ScalarDIALevel hierarchy (pytree tuple)
     inv_vel_rows: jnp.ndarray  # (9, N)
     inv_phi_diag: jnp.ndarray  # (N,)
@@ -247,23 +247,27 @@ class MGSIMPLEPCT:
     ) -> "MGSIMPLEPCT":
         """dims = (gx, gy, gz) node-grid shape; mat = FSDIAMatrixT."""
         from dedflow_tpu.solver.pc import NSFieldSplitPCT
-        from dedflow_tpu.sparse.fsbsr import PP
 
         base = NSFieldSplitPCT.from_diag_rows(mat.diag_rows())
         n = mat.num_rows
         assert n == dims[0] * dims[1] * dims[2], (
             f"grid {dims} does not match {n} pressure rows"
         )
+        # Compact Schur bands, extracted once (slicing the full matrix
+        # per apply forces a ~170 MB relayout copy each application -
+        # measured 11.5 vs 2.5 ms/apply at 1M tets).
+        bands = mat.schur_bands()
         # Hierarchy on the PLAIN A_pp stencil. Replacing its diagonal
         # with the exact S_hat diagonal was measured to WRECK the cycle
         # (111 vs 24 GMRES iterations on the reference state at 16^3):
         # the override makes each level's smoother inconsistent with its
         # own off-diagonals. S_hat enters only through the outer
         # Richardson residual in _schur_solve.
-        app = mat._d[:, PP, :]  # (D, N) pressure-block plane rows
-        levels = build_hierarchy(app, mat.offsets, dims, min_nodes=min_nodes)
+        levels = build_hierarchy(
+            bands.app, mat.offsets, dims, min_nodes=min_nodes
+        )
         return MGSIMPLEPCT(
-            mat=mat,
+            bands=bands,
             levels=levels,
             inv_vel_rows=base.inv_vel_rows,
             inv_phi_diag=base.inv_phi_diag,
@@ -282,7 +286,7 @@ class MGSIMPLEPCT:
         )
 
     def _schur_apply(self, p: jnp.ndarray) -> jnp.ndarray:
-        m = self.mat
+        m = self.bands
         return m.matvec_pp(p) - m.matvec_pu(self._duinv(m.matvec_up(p)))
 
     def _schur_solve(self, rp: jnp.ndarray) -> jnp.ndarray:
@@ -296,9 +300,14 @@ class MGSIMPLEPCT:
     def __call__(self, x_t: jnp.ndarray) -> jnp.ndarray:
         xu, xp = x_t[:3], x_t[3]
         ustar = self._duinv(xu)
-        rp = xp - self.mat.matvec_pu(ustar)
-        dp = self._schur_solve(rp)
-        u = ustar - self._duinv(self.mat.matvec_up(dp))
+        rp = xp - self.bands.matvec_pu(ustar)
+        # Fence the Schur phase: letting XLA fuse the predictor/corrector
+        # band matvecs into the V-cycle was measured at 16.6 ms/apply vs
+        # 1.8 ms with the barriers (1M tets, v5e) - the merged fusion
+        # re-materializes the (D, 3, N) bands inside the cycle.
+        rp = jax.lax.optimization_barrier(rp)
+        dp = jax.lax.optimization_barrier(self._schur_solve(rp))
+        u = ustar - self._duinv(self.bands.matvec_up(dp))
         return jnp.stack(
             [
                 u[0],

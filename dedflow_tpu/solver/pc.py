@@ -205,12 +205,14 @@ class SIMPLEPCT:
     field-split PC. Measured on the lid-driven cavity: 106 -> ~40 GMRES
     iterations vs block-Jacobi at the same converged residual.
 
-    The Schur sweeps use component-restricted DIA matvecs
-    (FSDIAMatrixT.matvec_up/pu/pp) and the exact diagonal of S_hat
-    (FSDIAMatrixT.schur_diag) - all gather-free shifted-slice row ops.
+    The Schur sweeps use the compact extracted A_pp/A_pu/A_up bands
+    (FSDIAMatrixT.schur_bands - extracted ONCE at setup; slicing the full
+    matrix per apply forced a ~170 MB relayout copy each application) and
+    the exact diagonal of S_hat (FSDIAMatrixT.schur_diag) - all
+    gather-free shifted-slice row ops.
     """
 
-    mat: object  # FSDIAMatrixT (pytree member)
+    bands: object  # sparse.fsbsr.SchurBandsT (pytree member)
     inv_vel_rows: jnp.ndarray  # (9, N)
     inv_s_diag: jnp.ndarray  # (N,) 1 / diag(S_hat)
     inv_phi_diag: jnp.ndarray  # (N,)
@@ -225,7 +227,7 @@ class SIMPLEPCT:
         # guard: S_hat diagonals can degenerate on constrained rows
         safe = jnp.where(jnp.abs(s_diag) > 1e-30, s_diag, 1.0)
         return SIMPLEPCT(
-            mat=mat,
+            bands=mat.schur_bands(),
             inv_vel_rows=base.inv_vel_rows,
             inv_s_diag=1.0 / safe,
             inv_phi_diag=base.inv_phi_diag,
@@ -244,17 +246,17 @@ class SIMPLEPCT:
         )
 
     def _schur_apply(self, p: jnp.ndarray) -> jnp.ndarray:
-        m = self.mat
+        m = self.bands
         return m.matvec_pp(p) - m.matvec_pu(self._duinv(m.matvec_up(p)))
 
     def __call__(self, x_t: jnp.ndarray) -> jnp.ndarray:
         xu, xp = x_t[:3], x_t[3]
         ustar = self._duinv(xu)
-        rp = xp - self.mat.matvec_pu(ustar)
+        rp = xp - self.bands.matvec_pu(ustar)
         dp = self.omega * self.inv_s_diag * rp
         for _ in range(self.sweeps - 1):
             dp = dp + self.omega * self.inv_s_diag * (rp - self._schur_apply(dp))
-        u = ustar - self._duinv(self.mat.matvec_up(dp))
+        u = ustar - self._duinv(self.bands.matvec_up(dp))
         return jnp.stack(
             [
                 u[0],

@@ -486,6 +486,24 @@ class FSDIAMatrixT:
             [self._d[d0], self._s[2 * d0 : 2 * d0 + 2]], axis=0
         )
 
+    def schur_bands(self) -> "SchurBandsT":
+        """Extract the compact pressure-Schur operator bands once.
+
+        The SIMPLE-type PCs apply A_pp / A_pu / A_up every GMRES
+        iteration; reading them as slices of the full (D, 16, N) array
+        makes XLA relayout-copy the whole matrix ({2,1,0} -> {2,0,1},
+        ~170 MB) inside EVERY PC application - measured 11.5 ms/apply vs
+        2.5 ms for the same math on compact arrays at 1M tets. Extracting
+        the seven component planes once at PC setup pays that read a
+        single time."""
+        d = self._d
+        return SchurBandsT(
+            app=d[:, PP, :],
+            apu=jnp.stack([d[:, PU(i), :] for i in range(3)], axis=1),
+            aup=jnp.stack([d[:, UP(i), :] for i in range(3)], axis=1),
+            offsets=self.offsets,
+        )
+
     def schur_diag(self, duinv_rows: jnp.ndarray) -> jnp.ndarray:
         """(N,) diagonal of the approximate pressure Schur complement
         S_hat = A_pp - A_pu inv(D_u) A_up, where duinv_rows (9, N) are the
@@ -555,3 +573,55 @@ class FSDIAMatrixT:
         return FSDIAMatrix(
             data=jnp.transpose(d18, (0, 2, 1)), offsets=self.offsets
         ).to_block_dense()
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class SchurBandsT:
+    """Compact pressure-Schur operator: the A_pp / A_pu / A_up component
+    planes of an FSDIAMatrixT as standalone arrays with the same linear
+    DIA offsets (see FSDIAMatrixT.schur_bands for why the extraction
+    exists). All matvecs are gather-free shifted-slice row ops."""
+
+    app: jnp.ndarray  # (D, N) pressure-pressure plane rows
+    apu: jnp.ndarray  # (D, 3, N) pressure-row / velocity-col planes
+    aup: jnp.ndarray  # (D, 3, N) velocity-row / pressure-col planes
+    offsets: tuple = dataclass_field(metadata=dict(static=True))
+
+    # All matvecs accumulate per-offset products WITHOUT a stacked
+    # (D, k, N) intermediate: jnp.stack of D shifted slices lowers to a
+    # serial dynamic-update-slice chain materializing ~32 MB per apply
+    # at 1M tets (visible in HLO), while the accumulator form fuses into
+    # one pass over the band array.
+
+    def _pad1(self, x: jnp.ndarray) -> tuple[jnp.ndarray, int, int]:
+        n = x.shape[-1]
+        m = max(max(abs(o) for o in self.offsets), 1)
+        pads = ((0, 0),) * (x.ndim - 1) + ((m, m),)
+        return jnp.pad(x, pads), n, m
+
+    def matvec_pp(self, p: jnp.ndarray) -> jnp.ndarray:
+        """(N,) -> (N,): the A_pp block only."""
+        pp, n, m = self._pad1(p)
+        y = jnp.zeros((), p.dtype)
+        for k, o in enumerate(self.offsets):
+            y = y + self.app[k] * jax.lax.slice_in_dim(pp, m + o, m + o + n)
+        return y
+
+    def matvec_pu(self, u: jnp.ndarray) -> jnp.ndarray:
+        """(3, N) velocity -> (N,) pressure row: the A_pu block only."""
+        up, n, m = self._pad1(u)
+        y = jnp.zeros((), u.dtype)
+        for k, o in enumerate(self.offsets):
+            sl = jax.lax.slice_in_dim(up, m + o, m + o + n, axis=1)
+            y = y + jnp.sum(self.apu[k] * sl, axis=0)
+        return y
+
+    def matvec_up(self, p: jnp.ndarray) -> jnp.ndarray:
+        """(N,) pressure -> (3, N) velocity rows: the A_up block only."""
+        pp, n, m = self._pad1(p)
+        y = jnp.zeros((), p.dtype)
+        for k, o in enumerate(self.offsets):
+            sl = jax.lax.slice_in_dim(pp, m + o, m + o + n)
+            y = y + self.aup[k] * sl[None, :]
+        return y

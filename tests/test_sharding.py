@@ -409,19 +409,15 @@ def test_sharded_fused_kernels_shmap_match_single_chip():
         lat.INTERPRET_FUSED = dk.INTERPRET = old
 
 
-def test_sharded_lattice_step_exact_and_halo_collectives():
+@pytest.mark.slow
+def test_sharded_lattice_step_exact():
     """Lattice meshes shard as contiguous slabs with the gather-free fast
     path: a full sharded step equals single-chip to near machine
-    precision (dense ops; only GSPMD fusion boundaries reassociate), and
-    the compiled Jacobian HLO moves halos with collective-permute - it
-    never all-gathers an O(N) operand (VERDICT round-1 item 6)."""
-    import dataclasses
-    import re
-
+    precision (dense ops; only GSPMD fusion boundaries reassociate).
+    Slow (two full 2-Newton steps on 8 virtual devices); the quick-suite
+    communication guarantee lives in
+    test_sharded_lattice_jacobian_halo_collectives."""
     import jax.numpy as jnp
-
-    from dedflow_tpu.fem import ns
-    from dedflow_tpu.fem.lattice import assemble_jacobian_t
 
     mesh = box_mesh(10, 7, 9)
     cfg = reference_scenario_config()
@@ -442,6 +438,24 @@ def test_sharded_lattice_step_exact_and_halo_collectives():
             sh.gather_state(b) / scale, np.asarray(a) / scale, atol=1e-11
         )
 
+
+def test_sharded_lattice_jacobian_halo_collectives():
+    """The compiled sharded-Jacobian HLO moves halos with
+    collective-permute - it never all-gathers an O(N) operand (VERDICT
+    round-1 item 6). Compile-only: no sharded execution."""
+    import re
+
+    from dedflow_tpu.fem import ns
+    from dedflow_tpu.fem.lattice import assemble_jacobian_t
+
+    mesh = box_mesh(10, 7, 9)
+    cfg = reference_scenario_config()
+    dmesh = jax.make_mesh((8,), ("dd",))
+    sh = ShardedNSSolver(mesh, cfg, dmesh)
+    assert sh.lattice, "box mesh should take the slab-sharded lattice path"
+
+    wg0, dwgold0, dwg0 = reference_initial_state(mesh)
+    state = tuple(sh.shard_state(x) for x in (wg0, dwgold0, dwg0))
     # HLO of the sharded Jacobian assembly: halos ride collective-permute;
     # nothing all-gathers an O(N)-sized operand (only O(surface) facet
     # scatters and O(1) reductions may gather).
