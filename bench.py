@@ -170,9 +170,10 @@ def bench_assembly_spmv(platform):
     def resid_loop(ctx, face_ctxs, mask, wg, dwgold, dwg):
         def body(_, d):
             fr = resid(ctx, face_ctxs, mask, wg, dwgold, d)
-            # full-dependency scalar carry: no per-rep layout transpose,
-            # and no DCE of any part of the residual
-            return d + 0.0 * jnp.sum(fr)
+            # full-dependency carry XLA cannot fold away: one output
+            # entry perturbs one input entry per rep (a `0.0 * sum`
+            # carry was constant-folded in one r03 run, timing "0.2 ms")
+            return d.at[0, 0].add(1e-6 * fr[0, 0])
 
         return resid(
             ctx, face_ctxs, mask, wg, dwgold,
@@ -183,7 +184,7 @@ def bench_assembly_spmv(platform):
         def body(_, d):
             jm = jac(ctx, face_ctxs, mask, wg, dwgold, d)
             leaf = jax.tree_util.tree_leaves(jm)[0]
-            return d + 0.0 * jnp.sum(leaf)
+            return d.at[0, 0].add(1e-6 * leaf.reshape(-1)[0])
 
         return jac(
             ctx, face_ctxs, mask, wg, dwgold,
@@ -211,11 +212,11 @@ def bench_assembly_spmv(platform):
     spmv_c = jax.jit(spmv_loop).lower(jmat, f).compile()
     log("spmv compiled")
 
-    t_f = _timeit(resid_loop_c, *cargs, wg, dwgold, dwg, r1=1, r2=2) / n_rep
+    t_f = _timeit(resid_loop_c, *cargs, wg, dwgold, dwg, r1=1, r2=3) / n_rep
     log(f"resid timed {t_f*1e3:.1f} ms")
-    t_j = _timeit(jac_loop_c, *cargs, wg, dwgold, dwg, r1=1, r2=2) / n_rep
+    t_j = _timeit(jac_loop_c, *cargs, wg, dwgold, dwg, r1=1, r2=3) / n_rep
     log(f"jac timed {t_j*1e3:.1f} ms")
-    t_s = _timeit(spmv_c, jmat, f, r1=1, r2=2)  # one call = 10 matvecs
+    t_s = _timeit(spmv_c, jmat, f, r1=2, r2=8)  # one call = 10 matvecs
     log(f"spmv timed {t_s*1e3:.1f} ms")
 
     fl_f, _ = _cost(resid_c)

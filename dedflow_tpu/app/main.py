@@ -135,6 +135,15 @@ def main(argv=None) -> int:
         # f64 leaves require x64 before any array is created
         jax.config.update("jax_enable_x64", True)
 
+    # Persistent compilation cache (same policy as tests/conftest.py):
+    # the driver's cost on repeat runs is dominated by XLA compiles of the
+    # jitted step; cache them across invocations.
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("DEDFLOW_APP_CACHE", "/tmp/dedflow_jax_cache_app"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
     import jax.numpy as jnp
 
     import dataclasses

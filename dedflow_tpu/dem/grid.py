@@ -122,23 +122,18 @@ def _offsets(grid: CellGrid):
     return offs
 
 
-def grid_pair_forces(grid: CellGrid, gs: GridState, prm: ContactParams):
-    """3 x (K, NC) contact forces; dense 27-offset x K'-slot loop."""
-    k = grid.capacity
-    nc = gs.mask.shape[1]
-    f = [jnp.zeros_like(gs.mask) for _ in range(3)]
-    # pad the flat cell axis once by the largest |offset|; every neighbor
-    # shift is then a STATIC SLICE (no roll/concat per offset). Pad cells
-    # have mask 0; out-of-row wrap cells are geometrically far, so their
-    # pairs are never in contact.
-    offs = _offsets(grid)
-    omax = max(abs(o) for o in offs)
-    padf = lambda a: jnp.pad(a, ((0, 0), (omax, omax)))
-    m_p = padf(gs.mask)
-    pos_p = [padf(gs.pos[c]) for c in range(3)]
-    vel_p = [padf(gs.vel[c]) for c in range(3)]
-    r_p = padf(gs.radius)
-    pid_p = jnp.pad(gs.pid, ((0, 0), (omax, omax)), constant_values=-1)
+def _pair_sweep(center, padded, offs, omax, nc, k, prm):
+    """Dense 27-offset x K'-slot contact sweep.
+
+    `center` = (pos, vel, radius, mask, pid) local (K, nc) fields;
+    `padded` = (m_p, pos_p, vel_p, r_p, pid_p), the same fields widened
+    to (K, nc + 2*omax) along the cell axis. Pad columns MUST have mask 0
+    (zero fill, or a neighbor shard's halo band). Every neighbor shift is
+    then a STATIC SLICE (no roll/concat per offset); out-of-row wrap
+    cells are geometrically far, so their pairs are never in contact."""
+    pos, vel, radius, mask, pid = center
+    m_p, pos_p, vel_p, r_p, pid_p = padded
+    f = [jnp.zeros_like(mask) for _ in range(3)]
     for o in offs:
         sh = lambda a: jax.lax.slice_in_dim(a, omax + o, omax + o + nc, axis=1)
         m_n = sh(m_p)
@@ -147,16 +142,16 @@ def grid_pair_forces(grid: CellGrid, gs: GridState, prm: ContactParams):
         r_n = sh(r_p)
         pid_n = sh(pid_p)
         for kp in range(k):
-            d = [gs.pos[c] - pos_n[c][kp] for c in range(3)]
+            d = [pos[c] - pos_n[c][kp] for c in range(3)]
             dist2 = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
             dist = jnp.sqrt(jnp.maximum(dist2, prm.eps))
-            delta = gs.radius + r_n[kp] - dist
+            delta = radius + r_n[kp] - dist
             # not self, both real, touching
-            notself = gs.pid != pid_n[kp]
+            notself = pid != pid_n[kp]
             act = (
-                gs.mask * m_n[kp] * notself.astype(dist.dtype) * (delta > 0.0)
+                mask * m_n[kp] * notself.astype(dist.dtype) * (delta > 0.0)
             )
-            vrel = [gs.vel[c] - vel_n[c][kp] for c in range(3)]
+            vrel = [vel[c] - vel_n[c][kp] for c in range(3)]
             n = [d[c] / dist for c in range(3)]
             vn = vrel[0] * n[0] + vrel[1] * n[1] + vrel[2] * n[2]
             w = act * (prm.k_n * delta - prm.gamma_n * vn)
@@ -174,6 +169,26 @@ def grid_pair_forces(grid: CellGrid, gs: GridState, prm: ContactParams):
                 for c in range(3):
                     f[c] = f[c] - ft / vt_norm * vt[c]
     return f
+
+
+def grid_pair_forces(grid: CellGrid, gs: GridState, prm: ContactParams):
+    """3 x (K, NC) contact forces; dense 27-offset x K'-slot loop."""
+    k = grid.capacity
+    nc = gs.mask.shape[1]
+    offs = _offsets(grid)
+    omax = max(abs(o) for o in offs)
+    padf = lambda a: jnp.pad(a, ((0, 0), (omax, omax)))
+    return _pair_sweep(
+        (gs.pos, gs.vel, gs.radius, gs.mask, gs.pid),
+        (
+            padf(gs.mask),
+            [padf(gs.pos[c]) for c in range(3)],
+            [padf(gs.vel[c]) for c in range(3)],
+            padf(gs.radius),
+            jnp.pad(gs.pid, ((0, 0), (omax, omax)), constant_values=-1),
+        ),
+        offs, omax, nc, k, prm,
+    )
 
 
 _E_DEM = 2048  # cells per Pallas contact-kernel grid step
@@ -280,6 +295,31 @@ def grid_pair_forces_pallas(grid: CellGrid, gs: GridState, prm: ContactParams):
     ]
 
 
+def _local_forces(cfg: DEMConfig, pos, vel, radius, mask, mass, ext, f):
+    """Add the purely local terms (walls + gravity + drag + ext) to the
+    contact forces `f` (mutated in place and returned)."""
+    prm = cfg.contact
+    dtype = mask.dtype
+    if cfg.walls_lo is not None:
+        for axis in range(3):
+            lo = jnp.asarray(cfg.walls_lo[axis], dtype)
+            hi = jnp.asarray(cfg.walls_hi[axis], dtype)
+            d_lo = radius - (pos[axis] - lo)
+            act = mask * (d_lo > 0)
+            f[axis] = f[axis] + act * (prm.k_n * d_lo - prm.gamma_n * vel[axis])
+            d_hi = radius - (hi - pos[axis])
+            act = mask * (d_hi > 0)
+            f[axis] = f[axis] - act * (prm.k_n * d_hi + prm.gamma_n * vel[axis])
+    g = cfg.gravity
+    for c in range(3):
+        f[c] = f[c] + mask * (mass * g[c])
+        if cfg.linear_drag:
+            f[c] = f[c] - cfg.linear_drag * mask * vel[c]
+        if ext is not None:
+            f[c] = f[c] + mask * ext[c]
+    return f
+
+
 def grid_forces(cfg: DEMConfig, gs: GridState, mass: float,
                 ext: tuple | None = None, use_pallas: bool | None = None):
     """Total force on the grid: contacts + walls + gravity + drag (+ext)."""
@@ -292,25 +332,9 @@ def grid_forces(cfg: DEMConfig, gs: GridState, mass: float,
         f = grid_pair_forces_pallas(cfg.grid, gs, prm)
     else:
         f = grid_pair_forces(cfg.grid, gs, prm)
-    dtype = gs.mask.dtype
-    if cfg.walls_lo is not None:
-        for axis in range(3):
-            lo = jnp.asarray(cfg.walls_lo[axis], dtype)
-            hi = jnp.asarray(cfg.walls_hi[axis], dtype)
-            d_lo = gs.radius - (gs.pos[axis] - lo)
-            act = gs.mask * (d_lo > 0)
-            f[axis] = f[axis] + act * (prm.k_n * d_lo - prm.gamma_n * gs.vel[axis])
-            d_hi = gs.radius - (hi - gs.pos[axis])
-            act = gs.mask * (d_hi > 0)
-            f[axis] = f[axis] - act * (prm.k_n * d_hi + prm.gamma_n * gs.vel[axis])
-    g = cfg.gravity
-    for c in range(3):
-        f[c] = f[c] + gs.mask * (mass * g[c])
-        if cfg.linear_drag:
-            f[c] = f[c] - cfg.linear_drag * gs.mask * gs.vel[c]
-        if ext is not None:
-            f[c] = f[c] + gs.mask * ext[c]
-    return f
+    return _local_forces(
+        cfg, gs.pos, gs.vel, gs.radius, gs.mask, mass, ext, f
+    )
 
 
 @partial(jax.jit, static_argnums=(0, 3, 5))
@@ -333,6 +357,100 @@ def grid_run(cfg: DEMConfig, gs: GridState, mass: float, num_steps: int,
     return out
 
 
+def grid_run_shardmap(cfg: DEMConfig, gs: GridState, mass: float,
+                      num_steps: int, ext: tuple | None,
+                      dev_mesh, axis: str) -> GridState:
+    """num_steps substeps under shard_map over contiguous slabs of the
+    flat cell axis.
+
+    Communication: the static-per-run fields (mask/radius/pid) exchange
+    their omax-wide boundary bands once; pos/vel exchange per substep -
+    two ppermutes of 6 x (K, omax) each, O(slab surface). This replaces
+    GSPMD partitioning of grid_run, whose rewrite of the 27 x K
+    static-slice sweep into per-slice collectives made XLA compile times
+    explode (>20 min for 64 particles on 8 CPU devices); under shard_map
+    the partitioner sees only local ops and two explicit collectives.
+
+    Requires max|offset| <= cells per shard (caller checks via
+    shard_halo_fits and falls back to the replicated grid_run)."""
+    from jax.sharding import PartitionSpec as P
+
+    offs = _offsets(cfg.grid)
+    omax = max(abs(o) for o in offs)
+    prm = cfg.contact
+    k = cfg.grid.capacity
+    nparts = dev_mesh.shape[axis]
+    nc = gs.mask.shape[1]
+    if nc % nparts or omax > nc // nparts:
+        raise ValueError(
+            f"grid_run_shardmap requires the padded cell axis ({nc}) to "
+            f"split evenly over {nparts} shards with max|offset| ({omax})"
+            f" <= cells per shard ({nc // nparts})"
+        )
+    send_r = [(i, i + 1) for i in range(nparts - 1)]
+    send_l = [(i + 1, i) for i in range(nparts - 1)]
+
+    def halo(a):
+        # boundary shards receive zeros for the missing neighbor: a
+        # zero-mask halo column contributes no pairs (same invariant as
+        # grid_pair_forces' zero padding)
+        lft = jax.lax.ppermute(a[:, -omax:], axis, send_r)
+        rgt = jax.lax.ppermute(a[:, :omax], axis, send_l)
+        return jnp.concatenate([lft, a, rgt], axis=1)
+
+    def kernel(pos, vel, radius, mask, pid, ext_g):
+        nloc = mask.shape[1]
+        m_p, r_p, pid_p = halo(mask), halo(radius), halo(pid)
+
+        def body(carry, _):
+            pos, vel = carry
+            pos_p = [halo(p) for p in pos]
+            vel_p = [halo(v) for v in vel]
+            f = _pair_sweep(
+                (pos, vel, radius, mask, pid),
+                (m_p, pos_p, vel_p, r_p, pid_p),
+                offs, omax, nloc, k, prm,
+            )
+            f = _local_forces(cfg, pos, vel, radius, mask, mass, ext_g, f)
+            vel = tuple(
+                vel[c] + (cfg.dt / mass) * f[c] * mask for c in range(3)
+            )
+            pos = tuple(pos[c] + cfg.dt * vel[c] * mask for c in range(3))
+            return (pos, vel), None
+
+        (pos, vel), _ = jax.lax.scan(
+            body, (pos, vel), None, length=num_steps
+        )
+        return pos, vel
+
+    spec = P(None, axis)
+    kern = jax.shard_map(
+        kernel,
+        mesh=dev_mesh,
+        in_specs=(spec, spec, spec, spec, spec, spec),
+        out_specs=(spec, spec),
+    )
+    ext_g = ext if ext is not None else tuple(
+        jnp.zeros_like(gs.mask) for _ in range(3)
+    )
+    pos, vel = jax.jit(kern)(
+        gs.pos, gs.vel, gs.radius, gs.mask, gs.pid, ext_g
+    )
+    return GridState(pos=pos, vel=vel, radius=gs.radius, mask=gs.mask,
+                     pid=gs.pid)
+
+
+def shard_halo_fits(grid: CellGrid, num_cells_padded: int,
+                    nparts: int) -> bool:
+    """True when the contact sweep's neighbor window fits inside one
+    shard of the flat cell axis (the grid_run_shardmap precondition)."""
+    omax = max(abs(o) for o in _offsets(grid))
+    return (
+        num_cells_padded % nparts == 0
+        and omax <= num_cells_padded // nparts
+    )
+
+
 def dem_run_grid(cfg: DEMConfig, state: ParticleState, num_steps: int,
                  rebuild_every: int = 20,
                  ext: jnp.ndarray | None = None,
@@ -345,11 +463,13 @@ def dem_run_grid(cfg: DEMConfig, state: ParticleState, num_steps: int,
 
     `shard` = (jax.sharding.Mesh, axis): the grid-resident state shards
     over contiguous slabs of the (slab-major) flat cell axis; the contact
-    sweep's static shifted slices become GSPMD collective-permute halo
-    bands (the same mechanism as the sharded lattice XLA path), so the
-    substep loop communicates only O(slab surface). Re-bucketing (every
-    `rebuild_every` substeps) remains a global exchange by design -
-    particles migrate between slabs there."""
+    sweep runs under shard_map with explicit ppermute halo-band exchange
+    (grid_run_shardmap), so the substep loop communicates only
+    O(slab surface). Re-bucketing (every `rebuild_every` substeps)
+    remains a global exchange by design - particles migrate between
+    slabs there. When the grid is too small for the neighbor window to
+    fit one slab, the run stays replicated (correct, and cheap at that
+    size) instead of letting GSPMD partition the 27-slice sweep."""
     p = state.num_particle
     mass = float(np.asarray(state.mass)[0])
     put = None
@@ -358,39 +478,60 @@ def dem_run_grid(cfg: DEMConfig, state: ParticleState, num_steps: int,
 
         dev_mesh, axis = shard
         nparts = int(np.prod(dev_mesh.devices.shape))
-        sh_cells = NamedSharding(dev_mesh, PartitionSpec(None, axis))
+        nc0 = int(np.prod(cfg.grid.dims))
+        ncp = -(-nc0 // nparts) * nparts
+        if not shard_halo_fits(cfg.grid, ncp, nparts):
+            shard = None  # replicated fallback (see docstring)
+        else:
+            sh_cells = NamedSharding(dev_mesh, PartitionSpec(None, axis))
 
-        def put(gs: GridState) -> GridState:
-            # the flat cell axis must split evenly over the devices: pad
-            # with empty cells (mask 0, pid = P -> dropped by from_grid's
-            # mode="drop" scatter; zero state contributes no forces)
-            nc = gs.mask.shape[1]
-            ncp = -(-nc // nparts) * nparts
-            w = ((0, 0), (0, ncp - nc))
-            d = lambda a: jax.device_put(jnp.pad(a, w), sh_cells)
-            return GridState(
-                pos=tuple(d(a) for a in gs.pos),
-                vel=tuple(d(a) for a in gs.vel),
-                radius=d(gs.radius),
-                mask=d(gs.mask),
-                pid=jax.device_put(
-                    jnp.pad(gs.pid, w, constant_values=p), sh_cells
-                ),
-            )
+            def put(gs: GridState) -> GridState:
+                # the flat cell axis must split evenly over the devices:
+                # pad with empty cells (mask 0, pid = P -> dropped by
+                # from_grid's mode="drop" scatter; zero state contributes
+                # no forces)
+                w = ((0, 0), (0, ncp - gs.mask.shape[1]))
+                d = lambda a: jax.device_put(jnp.pad(a, w), sh_cells)
+                return GridState(
+                    pos=tuple(d(a) for a in gs.pos),
+                    vel=tuple(d(a) for a in gs.vel),
+                    radius=d(gs.radius),
+                    mask=d(gs.mask),
+                    pid=jax.device_put(
+                        jnp.pad(gs.pid, w, constant_values=p), sh_cells
+                    ),
+                )
     done = 0
     cur = state
     while done < num_steps:
         n = min(rebuild_every, num_steps - done)
         gs = to_grid(cfg.grid, cur, p)
-        if put is not None:
-            gs = put(gs)
+        # map the external per-particle force onto the grid BEFORE
+        # sharding: the gather mixes ext (replicated) with gs.pid, which
+        # must share a device mesh
         ext_g = None
         if ext is not None:
             safe = jnp.minimum(gs.pid, p - 1)
             real = (gs.pid < p).astype(gs.mask.dtype)
             ext_g = tuple(ext[:, c][safe] * real for c in range(3))
-        gs = grid_run(cfg, gs, mass, n, ext_g,
-                      False if shard is not None else None)
+        if put is not None:
+            gs = put(gs)
+            if ext_g is not None:
+                w = ((0, 0), (0, ncp - ext_g[0].shape[1]))
+                ext_g = tuple(
+                    jax.device_put(jnp.pad(a, w), sh_cells) for a in ext_g
+                )
+        if shard is not None:
+            gs = grid_run_shardmap(cfg, gs, mass, n, ext_g, dev_mesh, axis)
+            # re-bucketing (from_grid -> to_grid) is a global exchange by
+            # design: replicate the slab-sharded state for its flat
+            # pid-scatter (one all-gather per rebuild window)
+            rep = NamedSharding(dev_mesh, PartitionSpec())
+            gs = jax.tree_util.tree_map(
+                lambda a: jax.device_put(a, rep), gs
+            )
+        else:
+            gs = grid_run(cfg, gs, mass, n, ext_g, None)
         new = from_grid(cfg.grid, gs, p, prev=cur)
         cur = ParticleState(x=new.x, v=new.v, a=new.a, mass=state.mass,
                             radius=state.radius)

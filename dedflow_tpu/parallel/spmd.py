@@ -302,7 +302,9 @@ def dia_matvec_ppermute(device_mesh: DeviceMesh, axis: str, offsets: tuple):
                 axis=0,
             )
         )
-        sc = scal_l.reshape(len(offsets), 2, l)
+        # constructors store scal sublane-padded (fsbsr.pad_scal_rows):
+        # narrow to the logical 2*D rows before the plane reshape
+        sc = scal_l[: 2 * len(offsets)].reshape(len(offsets), 2, l)
         y.append(jnp.sum(sc[:, 0] * xs[:, 4], axis=0))
         y.append(jnp.sum(sc[:, 1] * xs[:, 5], axis=0))
         return jnp.stack(y)

@@ -264,3 +264,48 @@ def test_grid_dem_matches_candidate_path():
     np.testing.assert_allclose(
         np.asarray(out_grid.v), np.asarray(out_ref.v), rtol=1e-5, atol=1e-7
     )
+
+
+def test_grid_run_shardmap_matches_replicated():
+    """The shard_map substep loop (explicit ppermute halo bands over
+    contiguous cell slabs) must reproduce the replicated grid_run
+    trajectory. The grid is elongated along x so the 27-offset neighbor
+    window fits one slab of 8 (the grid_run_shardmap precondition)."""
+    from dedflow_tpu.dem import grid as gdem
+    from dedflow_tpu.dem.integrate import DEMConfig
+
+    rng = np.random.default_rng(11)
+    p = 120
+    x = rng.uniform((0.05, 0.05, 0.05), (1.95, 0.35, 0.35), size=(p, 3))
+    v = rng.normal(scale=0.05, size=(p, 3))
+    st = particle_state(x, v, radius=0.03, mass=1.0)
+    cell_grid = make_grid([0, 0, 0], [2, 0.4, 0.4], cell_size=0.1, capacity=8)
+    cfg = DEMConfig(
+        grid=cell_grid,
+        contact=ContactParams(k_n=2e3, gamma_n=3.0),
+        gravity=(0.0, 0.0, -9.81),
+        dt=1e-4,
+        walls_lo=(0, 0, 0),
+        walls_hi=(2, 0.4, 0.4),
+        linear_drag=0.5,
+    )
+    nparts = 8
+    nc = int(np.prod(cell_grid.dims))
+    ncp = -(-nc // nparts) * nparts
+    assert gdem.shard_halo_fits(cell_grid, ncp, nparts), (
+        "test misconfigured: the shardmap path would fall back"
+    )
+    ext = rng.normal(scale=0.2, size=(p, 3)).astype(np.float64)
+
+    out_ref = gdem.dem_run_grid(cfg, st, 20, rebuild_every=5, ext=jnp.asarray(ext))
+    dmesh = jax.make_mesh((nparts,), ("dd",))
+    out_sh = gdem.dem_run_grid(
+        cfg, st, 20, rebuild_every=5, ext=jnp.asarray(ext),
+        shard=(dmesh, "dd"),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_sh.x), np.asarray(out_ref.x), rtol=1e-8, atol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_sh.v), np.asarray(out_ref.v), rtol=1e-7, atol=1e-9
+    )

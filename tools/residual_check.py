@@ -13,12 +13,20 @@ one ~20k-tet reference-scenario system on the current device two ways:
 Prints ONE JSON line with both relative residuals and writes it to
 RESIDUAL_TPU.json when run from the repo root. Pass = both <= 1e-10.
 
+Both solves are WALL-CLOCK TIMED (compile excluded: each jitted solve
+runs once to compile, then the timed run) so the cost of emulated-f64
+GMRES vs mixed-precision refinement is a measured artifact, not a
+design assertion. At n >= 40 (>= ~380k tets) the output file becomes
+RESIDUAL_TPU_LARGE.json and the emulated-f64 reference solve caps at
+maxit=200 (it exists to be timed against, not to win).
+
 Usage:  python tools/residual_check.py [n]   (mesh = box_mesh(n,n,n))
 """
 
 import json
 import os
 import sys
+import time
 
 import jax
 
@@ -42,7 +50,7 @@ from dedflow_tpu.mesh.gen import box_mesh  # noqa: E402
 from dedflow_tpu.solver.krylov import gmres  # noqa: E402
 from dedflow_tpu.solver.newton import NSSolver  # noqa: E402
 from dedflow_tpu.solver.pc import NSFieldSplitPCT  # noqa: E402
-from dedflow_tpu.solver.refine import gmres_ir  # noqa: E402
+from dedflow_tpu.solver.refine import gmres_ir_device  # noqa: E402
 
 
 def main() -> None:
@@ -51,19 +59,35 @@ def main() -> None:
     mesh = box_mesh(n, n, n)
     cfg = reference_scenario_config()
 
-    # f64 assembly (XLA rows backend: dtype-generic)
-    solver = NSSolver(mesh, cfg, dtype=jnp.float64)
-    lctx64 = build_lattice_context(mesh, dtype=jnp.float64, rows_backend="xla")
-    wg, dwgold, dwg = (
-        jnp.asarray(x, jnp.float64) for x in reference_initial_state(mesh)
+    # f64 assembly on the HOST CPU backend (real f64; on-TPU f64 assembly
+    # is emulated and, at ~1M tets, XLA materializes rematerialized
+    # (ne,3,3) geometry temps whose (3,3)-minor tiled layout pads 57x ->
+    # HBM OOM). Only the SOLVES - the thing this tool times and certifies
+    # - run on the TPU; the assembled operator is bitwise the same.
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        solver = NSSolver(mesh, cfg, dtype=jnp.float64)
+        lctx64 = build_lattice_context(
+            mesh, dtype=jnp.float64, rows_backend="xla"
+        )
+        wg, dwgold, dwg = (
+            jnp.asarray(x, jnp.float64) for x in reference_initial_state(mesh)
+        )
+        wa, dwa = ns.alpha_states(wg, dwgold, dwg, cfg.time)
+        j64h = assemble_jacobian_t(
+            lctx64, solver.face_ctxs, solver.mask, wa, dwa,
+            cfg.physics, cfg.time,
+        )
+        f64h = assemble_residual_t(
+            lctx64, solver.face_ctxs, solver.mask, wa, dwa,
+            cfg.physics, cfg.time,
+        )
+    j64 = type(j64h)(
+        data=jax.device_put(j64h.data, dev),
+        scal=jax.device_put(j64h.scal, dev),
+        offsets=j64h.offsets, backend=j64h.backend,
     )
-    wa, dwa = ns.alpha_states(wg, dwgold, dwg, cfg.time)
-    j64 = assemble_jacobian_t(
-        lctx64, solver.face_ctxs, solver.mask, wa, dwa, cfg.physics, cfg.time
-    )
-    f64 = assemble_residual_t(
-        lctx64, solver.face_ctxs, solver.mask, wa, dwa, cfg.physics, cfg.time
-    )
+    f64 = jax.device_put(f64h, dev)
     j32 = type(j64)(
         data=j64.data.astype(jnp.float32),
         scal=j64.scal.astype(jnp.float32),
@@ -71,25 +95,51 @@ def main() -> None:
     )
     pc32 = NSFieldSplitPCT.from_diag_rows(j32.diag_rows())
     bnorm = float(jnp.linalg.norm(f64.reshape(-1)))
+    large = n >= 40
 
-    # 1) straight f64 GMRES (emulated f64 on TPU)
-    sol64 = gmres(
-        j64.matvec_t, f64, maxit=400, atol=0.0, rtol=1e-12,
-        pc=NSFieldSplitPCT.from_diag_rows(j64.diag_rows()),
+    def timed(fn, *args):
+        """(result, seconds): jit, compile on a throwaway call, then one
+        timed call synced by fetching a scalar (block_until_ready does
+        not wait under the axon tunnel)."""
+        c = jax.jit(fn)
+        sync = lambda o: float(
+            jnp.sum(jax.tree_util.tree_leaves(o)[0].reshape(-1)[:4])
+        )
+        sync(c(*args))
+        t0 = time.perf_counter()
+        out = c(*args)
+        sync(out)
+        return out, time.perf_counter() - t0
+
+    # 1) straight f64 GMRES (emulated f64 on TPU). The matrix and PC are
+    # jit ARGUMENTS (pytrees), never closure captures: captured operands
+    # become XLA constants baked into the program, which at ~1M tets
+    # exceeds the axon tunnel's remote-compile upload limit (HTTP 413).
+    pc64 = NSFieldSplitPCT.from_diag_rows(j64.diag_rows())
+    sol64, t64 = timed(
+        lambda mat, p, b: gmres(
+            mat.matvec_t, b, maxit=200 if large else 400, atol=0.0,
+            rtol=1e-12, pc=p,
+        ),
+        j64, pc64, f64,
     )
     r64 = float(
         jnp.linalg.norm((f64 - j64.matvec_t(sol64.x)).reshape(-1))
     ) / bnorm
 
-    # 2) mixed-precision iterative refinement (f32 Krylov + f64 updates)
-    info = gmres_ir(
-        j64.matvec_t,
-        j32.matvec_t,
-        f64,
-        pc=pc32,
-        tol=1e-12,
-        inner_maxit=150,
-        inner_rtol=1e-5,
+    # 2) mixed-precision iterative refinement (f32 Krylov + f64 updates;
+    # the jit-compatible device variant so the whole solve is one call)
+    info, t_ir = timed(
+        lambda mhi, mlo, p, b: gmres_ir_device(
+            mhi.matvec_t,
+            mlo.matvec_t,
+            b,
+            pc=p,
+            tol=1e-12,
+            inner_maxit=150,
+            inner_rtol=1e-5,
+        ),
+        j64, j32, pc32, f64,
     )
 
     out = {
@@ -100,15 +150,23 @@ def main() -> None:
         "num_tet": mesh.num_tet,
         "f64_gmres_rel_residual": r64,
         "f64_gmres_iters": int(sol64.iters),
-        "ir_rel_residual": info.rel_residual,
-        "ir_cycles": info.cycles,
-        "ir_inner_f32_iters": info.inner_iters,
-        "pass": bool(r64 <= 1e-10 and info.rel_residual <= 1e-10),
+        "f64_gmres_wall_s": round(t64, 3),
+        "ir_rel_residual": float(info.rel_residual),
+        "ir_cycles": int(info.cycles),
+        "ir_inner_f32_iters": int(info.inner_iters),
+        "ir_wall_s": round(t_ir, 3),
+        # at large sizes the capped f64 reference run is a timing
+        # comparison, not part of the bar - IR carries the 1e-10 claim
+        "pass": bool(
+            float(info.rel_residual) <= 1e-10
+            and (large or r64 <= 1e-10)
+        ),
     }
     line = json.dumps(out)
     print(line)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(repo, "RESIDUAL_TPU.json"), "w") as fh:
+    name = "RESIDUAL_TPU_LARGE.json" if large else "RESIDUAL_TPU.json"
+    with open(os.path.join(repo, name), "w") as fh:
         fh.write(line + "\n")
 
 
