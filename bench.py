@@ -22,6 +22,13 @@ On box lattices the solver uses the gather-free structured fast path
 (fem.lattice: static-shift assembly, component-major DIA matrix, fused
 Pallas kernels); f32 on TPU. The f64 correctness path is exercised by the
 test suite on CPU and by `--f64-check` (tools/residual_check.py).
+
+DEDFLOW_BENCH_LATTICE selects the fast-path tier (cfg.use_lattice):
+"auto" (default) uses generator metadata; "off" is metadata-blind - the
+general machinery detects translation classes from the connectivity
+alone, exactly as a converted (tools/mesh_convert.py) mesh would enter;
+"gather" forces the fully general gather path (the floor for irregular
+meshes, e.g. Delaunay).
 """
 
 import json
@@ -109,7 +116,13 @@ def bench_assembly_spmv(platform):
 
     n = int(os.environ.get("DEDFLOW_BENCH_N", 55 if platform == "tpu" else 12))
     dtype = jnp.float32
-    mesh = box_mesh(n, n, n)
+    if os.environ.get("DEDFLOW_BENCH_MESH", "box") == "delaunay":
+        # irregular-mesh floor: ~(n+1)^3 random points = ~box tet count
+        from dedflow_tpu.mesh.gen import delaunay_mesh
+
+        mesh = delaunay_mesh((n + 1) ** 3)
+    else:
+        mesh = box_mesh(n, n, n)
     cfg = reference_scenario_config()
     chunk_env = int(os.environ.get("DEDFLOW_BENCH_CHUNK", 0))
     cfg = dataclasses.replace(
@@ -123,9 +136,17 @@ def bench_assembly_spmv(platform):
     )
     solver = NSSolver(mesh, cfg, dtype=dtype)
     lat = solver.lctx is not None
+    # which fast-path mechanism is active: "lattice" = generator metadata,
+    # "classes" = translation classes detected from `ien` alone (the
+    # metadata-blind path converted meshes take), "gather" = fully general
+    mech = (
+        "gather" if not lat
+        else "classes" if cfg.use_lattice == "off" or mesh.lattice is None
+        else "lattice"
+    )
     print(
         f"bench: platform={platform} mesh {mesh.num_tet} tets"
-        f" {mesh.num_node} nodes dtype={dtype.__name__} lattice={lat}",
+        f" {mesh.num_node} nodes dtype={dtype.__name__} fastpath={mech}",
         file=sys.stderr,
     )
     wg, dwgold, dwg = reference_initial_state(mesh)
@@ -229,7 +250,7 @@ def bench_assembly_spmv(platform):
         from dedflow_tpu.fem import pallas_kernels as pk
 
         m_probe = 4096
-        lanes = 6 * ctx.npad
+        lanes = len(ctx.deltas) * ctx.npad
 
         def probe(fn, rows):
             x = jnp.ones((rows, m_probe), jnp.float32)
@@ -353,6 +374,7 @@ def bench_assembly_spmv(platform):
         t_gmres_ms=t_g * 1e3,
         num_tet=ne,
         lattice=lat,
+        fastpath=mech,
     )
 
 
@@ -465,6 +487,7 @@ def main() -> None:
                     "t_dem_substep_ms": round(dem["t_substep_ms"], 2),
                     "num_tet": asm["num_tet"],
                     "lattice": asm["lattice"],
+                    "fastpath": asm["fastpath"],
                 },
             }
         )

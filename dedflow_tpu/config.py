@@ -183,9 +183,14 @@ class SolverConfig:
     # defined up to a constant.
     pin_pressure: bool = False
     # Gather-free structured fast path (fem.lattice) on box_mesh lattices:
-    # "auto" uses it whenever the mesh carries lattice metadata and the
-    # run is whole-mesh frozen-scalar; "on"/"off" force it. Measured ~10x
-    # assembly+SpMV speedup on TPU (static shifted slices vs gathers).
+    # Structured fast-path mode ladder. "auto": generator metadata
+    # (mesh.lattice) when present, else translation-class detection from
+    # the connectivity alone (fem.lattice.build_class_context - this is
+    # how converted/unstructured-format meshes enter the fast path);
+    # "off": metadata-blind, class detection only; "gather": force the
+    # fully general gather path (the oracle); "on": require a fast path.
+    # Measured ~10-25x assembly+SpMV speedup on TPU (static shifted
+    # slices vs gathers). Whole-mesh frozen-scalar runs only.
     use_lattice: str = "auto"
     # Lattice element-kernel backend override: None = auto (fused Pallas
     # on TPU, XLA elsewhere); "xla" forces the dtype-generic XLA pipeline

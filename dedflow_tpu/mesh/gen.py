@@ -42,6 +42,24 @@ def single_tet_mesh() -> Mesh:
     return Mesh(xg=xg, ien=ien, boundaries=[])
 
 
+def delaunay_mesh(num_points: int, seed: int = 0) -> Mesh:
+    """Genuinely irregular tet mesh: Delaunay triangulation of uniform
+    random points in the unit cube (~6.7 tets/point). No translation
+    regularity, no boundary tables - the honest floor case for the
+    general gather assembly path (benchmarks/tests only)."""
+    from scipy.spatial import Delaunay
+
+    rng = np.random.RandomState(seed)
+    pts = rng.rand(num_points, 3)
+    tri = Delaunay(pts)
+    ien = np.asarray(tri.simplices, dtype=np.int64)
+    # drop near-degenerate slivers: |det| relative to mean edge scale
+    p = pts[ien]
+    det = np.abs(np.linalg.det(p[:, 1:] - p[:, :1]))
+    ien = ien[det > 1e-12]
+    return Mesh(xg=pts, ien=ien.astype(INDEX_DTYPE), boundaries=[])
+
+
 def box_mesh(
     nx: int,
     ny: int,

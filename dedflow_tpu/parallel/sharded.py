@@ -125,7 +125,7 @@ class ShardedNSSolver:
         #   tests/test_sharding.py - no full-vector all-gather).
         self.lattice = (
             mesh.lattice is not None
-            and getattr(cfg, "use_lattice", "auto") != "off"
+            and getattr(cfg, "use_lattice", "auto") not in ("off", "gather")
             and cfg.assembly_chunk is None
             and not cfg.implicit_scalars
         )
@@ -211,7 +211,14 @@ class ShardedNSSolver:
             return
 
         self.pmesh, self.info = partition_mesh(mesh, num_parts)
-        self.solver = NSSolver(self.pmesh, cfg, dtype=dtype)
+        # The RCB-reordered mesh must use the gather path: a class-lattice
+        # context (single-chip Pallas kernels, shard=None) detected on the
+        # reordered ids would not be GSPMD-shardable.
+        self.solver = NSSolver(
+            self.pmesh,
+            dataclasses.replace(cfg, use_lattice="gather"),
+            dtype=dtype,
+        )
         self.dtype = self.solver.dtype
         # Subdomain layout for every mesh-sized device array: the element,
         # node and nnz axes are all partition-contiguous by construction.

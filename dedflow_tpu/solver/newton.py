@@ -98,6 +98,17 @@ def assemble_system(
                 stacklevel=2,
             )
             pc_type = "simple"
+        if pc_type == "mg" and ctx.dims is None:
+            import warnings
+
+            warnings.warn(
+                "krylov.pc='mg' needs the structured node grid "
+                "(LatticeContext.dims); translation-class contexts are "
+                "geometry-blind - falling back to the SIMPLE "
+                "preconditioner",
+                stacklevel=2,
+            )
+            pc_type = "simple"
         if pc_type == "mg":
             from dedflow_tpu.solver.mg import MGSIMPLEPCT
 
@@ -390,30 +401,46 @@ class NSSolver:
             mask_np[0, 3] = True  # remove the constant-pressure null mode
         self.mask = jnp.asarray(mask_np)
 
-        # Gather-free structured fast path (fem.lattice): box lattices,
-        # whole-mesh, frozen scalars. The general FEMContext stays
-        # authoritative for face tables, I/O and coupling.
-        use_lat = (
-            getattr(cfg, "use_lattice", "auto") != "off"
-            and mesh.lattice is not None
+        # Gather-free structured fast path (fem.lattice). Mode ladder
+        # (cfg.use_lattice):
+        #   "auto"   generator metadata (mesh.lattice) when present, else
+        #            translation-class detection from `ien` alone;
+        #   "off"    metadata-blind: IGNORE mesh.lattice, but the general
+        #            machinery still detects translation classes (this is
+        #            how a converted/unstructured-format mesh enters);
+        #   "gather" force the fully general gather path (the oracle);
+        #   "on"     require a fast path, error otherwise.
+        # The general FEMContext stays authoritative for face tables, I/O
+        # and coupling.
+        mode = getattr(cfg, "use_lattice", "auto")
+        can_fast = (
+            mode != "gather"
             and cfg.assembly_chunk is None
             and not cfg.implicit_scalars
         )
         self.lctx = None
-        if use_lat:
-            lctx = build_lattice_context(
-                mesh, dtype=dtype,
-                rows_backend=getattr(cfg, "lattice_backend", None),
-            )
+        if can_fast:
+            if mesh.lattice is not None and mode != "off":
+                lctx = build_lattice_context(
+                    mesh, dtype=dtype,
+                    rows_backend=getattr(cfg, "lattice_backend", None),
+                )
+            else:
+                from dedflow_tpu.fem.lattice import build_class_context
+
+                lctx = build_class_context(
+                    mesh, dtype=dtype,
+                    rows_backend=getattr(cfg, "lattice_backend", None),
+                )
             # face scatter plans are expressed in the FEMContext's DIA
             # plane order; require agreement (tiny boxes may not realize
             # every lattice offset in their sparsity).
-            if self.ctx.dia_offsets == lctx.offsets:
+            if lctx is not None and self.ctx.dia_offsets == lctx.offsets:
                 self.lctx = lctx
-            elif getattr(cfg, "use_lattice", "auto") == "on":
+            elif mode == "on":
                 raise ValueError(
                     "use_lattice='on' but the mesh sparsity does not match "
-                    "the lattice stencil"
+                    "the lattice/class stencil"
                 )
         self.solve_ctx = self.lctx if self.lctx is not None else self.ctx
 

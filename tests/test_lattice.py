@@ -33,7 +33,7 @@ from dedflow_tpu.solver.pc import NSFieldSplitPC, NSFieldSplitPCT
 def solvers():
     mesh = box_mesh(4, 3, 5)  # non-cubic: catches stride mixups
     cfg = reference_scenario_config()
-    gen = NSSolver(mesh, dataclasses.replace(cfg, use_lattice="off"))
+    gen = NSSolver(mesh, dataclasses.replace(cfg, use_lattice="gather"))
     lat = NSSolver(mesh, dataclasses.replace(cfg, use_lattice="on"))
     assert lat.lctx is not None
     wg, dwgold, dwg = reference_initial_state(mesh)
@@ -166,7 +166,7 @@ def test_simple_pc_cuts_iterations(solvers):
     iters = {}
     norms = {}
     for pc, lat in (("fieldsplit", "auto"), ("simple", "auto"),
-                    ("simple", "off")):
+                    ("simple", "gather")):
         cfg = dataclasses.replace(
             base, use_lattice=lat,
             krylov=dataclasses.replace(base.krylov, pc=pc, max_iter=300),
@@ -180,7 +180,7 @@ def test_simple_pc_cuts_iterations(solvers):
         norms[(pc, lat)] = np.asarray(stats.rnorms[-1])
     # both the lattice (SIMPLEPCT) and general-ELL (SIMPLEPC) variants
     assert iters[("simple", "auto")] * 2 <= iters[("fieldsplit", "auto")], iters
-    assert iters[("simple", "off")] * 2 <= iters[("fieldsplit", "auto")], iters
+    assert iters[("simple", "gather")] * 2 <= iters[("fieldsplit", "auto")], iters
     # both solves stop at the same GMRES rtol (1e-4), so the converged
     # Newton residuals agree to that order, not to machine precision
     np.testing.assert_allclose(

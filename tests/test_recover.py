@@ -100,7 +100,7 @@ def test_recovered_assembly_matches_general():
     m2, perm = recover_lattice(shuf)
     cfg = reference_scenario_config()
 
-    gen = NSSolver(shuf, dataclasses.replace(cfg, use_lattice="off"))
+    gen = NSSolver(shuf, dataclasses.replace(cfg, use_lattice="gather"))
     lat = NSSolver(m2, dataclasses.replace(cfg, use_lattice="on"))
     assert lat.lctx is not None
 

@@ -80,7 +80,7 @@ def test_sharded_residual_matches():
     mesh = box_mesh(3, 3, 4)
     # force the RCB/GSPMD general path (box meshes otherwise take the
     # slab-sharded lattice fast path, tested separately below)
-    cfg = dataclasses.replace(reference_scenario_config(), use_lattice="off")
+    cfg = dataclasses.replace(reference_scenario_config(), use_lattice="gather")
     wg0, dwgold0, dwg0 = reference_initial_state(mesh)
 
     ref = NSSolver(mesh, cfg)
@@ -277,7 +277,7 @@ def test_rcb_halo_spmv_matches_and_no_allgather():
     from dedflow_tpu.parallel.spmd import fsbsr_matvec_halo
 
     mesh = box_mesh(5, 4, 6)
-    cfg = dataclasses.replace(reference_scenario_config(), use_lattice="off")
+    cfg = dataclasses.replace(reference_scenario_config(), use_lattice="gather")
     dmesh = jax.make_mesh((8,), ("dd",))
     sh = ShardedNSSolver(mesh, cfg, dmesh)
     wg0, dwgold0, dwg0 = reference_initial_state(mesh)
