@@ -341,6 +341,8 @@ def bench_assembly_spmv(platform):
                 restart,
             ),
         }
+        if dims is None:  # class-tier contexts are geometry-blind: no MG
+            variants.pop("mg")
         for name, (mkpc, restart) in variants.items():
             def tsolve(jm, b, mkpc=mkpc, restart=restart):
                 sol = gmres(

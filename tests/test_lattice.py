@@ -123,8 +123,9 @@ def test_full_step_matches_general(solvers):
 
 
 def test_auto_gating():
-    """auto uses the lattice on box meshes, never on loaded meshes or
-    chunked/implicit-scalar configs."""
+    """auto uses the lattice on box meshes and translation-class
+    detection on metadata-free meshes; chunked configs and
+    use_lattice='gather' get the general path."""
     mesh = box_mesh(3, 3, 3)
     cfg = reference_scenario_config()
     assert NSSolver(mesh, cfg).lctx is not None
@@ -132,7 +133,12 @@ def test_auto_gating():
     assert NSSolver(mesh, cfg2).lctx is None
     mesh_no = box_mesh(3, 3, 3)
     mesh_no.lattice = None
-    assert NSSolver(mesh_no, cfg).lctx is None
+    s_no = NSSolver(mesh_no, cfg)
+    # metadata-free but translation-regular: the CLASS tier kicks in
+    # (geometry-blind, so no MG node grid)
+    assert s_no.lctx is not None and s_no.lctx.dims is None
+    cfg3 = dataclasses.replace(cfg, use_lattice="gather")
+    assert NSSolver(mesh_no, cfg3).lctx is None
 
 
 def test_dead_cell_padding_is_exact_zero():
