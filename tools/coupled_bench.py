@@ -6,7 +6,11 @@ line to COUPLED_TPU.json in the repo root: per-step wall times, Newton
 iterations, and the DEM/coupling configuration - so config #5's s/step is
 a committed, driver-visible artifact instead of a README claim.
 
-Usage: python tools/coupled_bench.py [box_n=55] [particles=100000] [steps=3]
+Usage: python tools/coupled_bench.py [box_n=55] [particles=100000]
+       [steps=3] [pc=fieldsplit]
+
+With a non-default `pc` the result is merged into COUPLED_TPU.json under
+"pc_<name>" instead of replacing the default (reference-parity) entry.
 """
 
 import json
@@ -40,11 +44,18 @@ def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 55
     particles = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
     steps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    pc = sys.argv[4] if len(sys.argv) > 4 else "fieldsplit"
     dev = jax.devices()[0]
     dtype = jnp.float32 if dev.platform == "tpu" else None
 
     mesh = box_mesh(n, n, n)
     cfg = reference_scenario_config()
+    if pc != "fieldsplit":
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, krylov=dataclasses.replace(cfg.krylov, pc=pc)
+        )
     ccfg, pstate = coupled_scenario_setup(mesh, num_particles=particles)
     t0 = time.perf_counter()
     solver = CoupledSolver(mesh, cfg, ccfg, dtype=dtype)
@@ -79,6 +90,7 @@ def main() -> None:
 
     out = {
         "metric": "coupled_step_seconds",
+        "pc": pc,
         "platform": dev.platform,
         "device_kind": getattr(dev, "device_kind", "?"),
         "num_tet": mesh.num_tet,
@@ -93,8 +105,22 @@ def main() -> None:
     line = json.dumps(out)
     print(line)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(repo, "COUPLED_TPU.json"), "w") as fh:
-        fh.write(line + "\n")
+    path = os.path.join(repo, "COUPLED_TPU.json")
+    if pc != "fieldsplit":
+        # merge as a PC variant next to the default entry
+        try:
+            with open(path) as fh:
+                doc = json.load(fh)
+        except Exception:  # noqa: BLE001
+            doc = {}
+        if "metric" in doc:  # legacy single-entry layout
+            doc = {"default": doc}
+        doc[f"pc_{pc}"] = out
+        with open(path, "w") as fh:
+            json.dump(doc, fh, indent=1)
+    else:
+        with open(path, "w") as fh:
+            fh.write(line + "\n")
 
 
 if __name__ == "__main__":
