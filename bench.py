@@ -124,6 +124,10 @@ def bench_assembly_spmv(platform):
     else:
         mesh = box_mesh(n, n, n)
     cfg = reference_scenario_config()
+    if not mesh.boundaries:
+        # the Delaunay floor mesh carries no boundary tables: drop the
+        # scenario's BCs (assembly+SpMV throughput is BC-independent)
+        cfg = dataclasses.replace(cfg, bcs=())
     chunk_env = int(os.environ.get("DEDFLOW_BENCH_CHUNK", 0))
     cfg = dataclasses.replace(
         cfg,

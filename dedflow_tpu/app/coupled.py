@@ -88,10 +88,18 @@ class CoupledSolver:
         else:
             self.grid = coupling.element_grid(cmesh.xg, cmesh.ien)
 
-    def step(self, wg, dwgold, dwg, pstate: ParticleState):
+    def step(self, wg, dwgold, dwg, pstate: ParticleState,
+             num_newton: int | None = None):
         """One coupled step; returns (wg, dwgold, dwg, pstate, stats).
         Fluid state arrays are in the solver's native layout (sharded
-        partitioned order when device_mesh was given)."""
+        partitioned order when device_mesh was given).
+
+        With `num_newton` the fluid advances via `step_fixed` - a single
+        jitted call with a fixed Newton count and ZERO host syncs (the
+        adaptive default fetches per-iteration residual norms, which
+        costs several device round-trips per step; stats is then None).
+        This mirrors the reference's fixed maxit=4 production loop
+        (main.c:86-89)."""
         if self._lattice is not None:
             f_p, f_nodes = coupling.drag_exchange_lattice(
                 self._lattice, self._lat_origin, self._lat_spacing,
@@ -101,11 +109,18 @@ class CoupledSolver:
             f_p, f_nodes = coupling.drag_exchange(
                 self.grid, self._coupling_ctx, pstate, wg, self.ccfg.drag_mu
             )
-        out = self.fluid.step(
-            wg, dwgold, dwg, nodal_force=f_nodes.astype(wg.dtype)
-        )
-        wg, dwgold, dwg = out[:3]
-        stats = out[3] if len(out) > 3 else None
+        if num_newton is not None:
+            wg, dwgold, dwg = self.fluid.step_fixed(
+                wg, dwgold, dwg, num_newton=num_newton,
+                nodal_force=f_nodes.astype(wg.dtype),
+            )
+            stats = None
+        else:
+            out = self.fluid.step(
+                wg, dwgold, dwg, nodal_force=f_nodes.astype(wg.dtype)
+            )
+            wg, dwgold, dwg = out[:3]
+            stats = out[3] if len(out) > 3 else None
         if self.ccfg.use_grid:
             from dedflow_tpu.dem.grid import dem_run_grid
 

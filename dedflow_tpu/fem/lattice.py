@@ -305,6 +305,8 @@ def build_class_context(
     rows_backend: str | None = None,
     max_classes: int = 8,
     dmax_limit: int = 16384,
+    num_node_pad: int | None = None,
+    shard: tuple | None = None,  # (jax.sharding.Mesh, axis_name)
 ) -> LatticeContext | None:
     """Translation-class fast path for meshes WITHOUT generator metadata:
     detect per-element offset signatures from `ien` alone and run the
@@ -346,7 +348,9 @@ def build_class_context(
         )
         for t in range(nt)
     )
-    n = ntot = mesh.num_node
+    n = mesh.num_node
+    ntot = num_node_pad or n
+    assert ntot >= n
     dmax = -(-dmax_raw // 128) * 128
     npad = max(
         -(-(ntot + dmax) // pk._E) * pk._E,
@@ -371,7 +375,7 @@ def build_class_context(
     return _pack_lattice_context(
         lr_raw, rr_raw, mult[None, :], deltas, offs, plane_tab,
         n=n, ntot=ntot, npad=npad, dmax=dmax,
-        rows_backend=rows_backend, shard=None, dims=None,
+        rows_backend=rows_backend, shard=shard, dims=None,
     )
 
 

@@ -123,18 +123,35 @@ class ShardedNSSolver:
         #   under GSPMD; every static shifted slice becomes a
         #   collective-permute of a boundary band (HLO-asserted in
         #   tests/test_sharding.py - no full-vector all-gather).
-        self.lattice = (
-            mesh.lattice is not None
-            and getattr(cfg, "use_lattice", "auto") not in ("off", "gather")
+        # Fast-path gate: the lattice tier (generator metadata) or the
+        # translation-class tier (detected from `ien` alone - how a
+        # converted mesh enters) both shard as contiguous node slabs; the
+        # DIA band is bounded by dmax either way, so every static shift
+        # is a thin halo. NSSolver applies the same mode ladder.
+        maybe_fast = (
+            getattr(cfg, "use_lattice", "auto") != "gather"
             and cfg.assembly_chunk is None
             and not cfg.implicit_scalars
         )
+        self.lattice = False
         self.pad_nodes = 0
-        if self.lattice:
-            self.pmesh, self.info = mesh, None
-            self.solver = NSSolver(mesh, cfg, dtype=dtype)
-            lc = self.solver.lctx
-            self.lattice = lc is not None  # offset-set guard
+        if maybe_fast:
+            # cheap translation-regularity probe before committing to a
+            # full NSSolver build (the gather fallback rebuilds one on
+            # the partitioned mesh)
+            from dedflow_tpu.fem.lattice import detect_delta_classes
+
+            regular = (
+                mesh.lattice is not None
+                and getattr(cfg, "use_lattice", "auto") != "off"
+            ) or (
+                not mesh.extra_cells
+                and detect_delta_classes(np.asarray(mesh.ien)) is not None
+            )
+            if regular:
+                self.pmesh, self.info = mesh, None
+                self.solver = NSSolver(mesh, cfg, dtype=dtype)
+                self.lattice = self.solver.lctx is not None  # offset guard
         if self.lattice and self.solver.lctx.rows_backend == "pallas":
             from dedflow_tpu.fem import lattice as lat
 
@@ -144,7 +161,15 @@ class ShardedNSSolver:
             L = -(-n // (num_parts * block)) * block
             npd = num_parts * L
             self.pad_nodes = npd - n
-            lctx = lat.build_lattice_context(
+            use_meta = (
+                mesh.lattice is not None
+                and getattr(cfg, "use_lattice", "auto") != "off"
+            )
+            build = (
+                lat.build_lattice_context if use_meta
+                else lat.build_class_context
+            )
+            lctx = build(
                 mesh,
                 dtype=self.dtype,
                 rows_backend="pallas",

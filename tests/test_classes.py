@@ -139,6 +139,39 @@ def test_gather_mode_forces_general_path():
     assert s.lctx is None
 
 
+@pytest.mark.slow
+def test_sharded_class_step_matches_single_chip():
+    """A metadata-free translation-regular mesh (deformed box) takes the
+    slab-sharded fast path in ShardedNSSolver via class detection; a full
+    fixed-Newton step equals single-chip to near machine precision."""
+    import jax
+
+    from dedflow_tpu.parallel.sharded import ShardedNSSolver
+
+    mesh = box_mesh(10, 7, 9)  # N = 880 = 8 * 110
+    m2 = _deformed(mesh, amp=0.03)
+    m2.boundaries = mesh.boundaries  # keep the scenario's BC tables
+    cfg = reference_scenario_config()
+    dmesh = jax.make_mesh((8,), ("dd",))
+    sh = ShardedNSSolver(m2, cfg, dmesh)
+    assert sh.lattice, "deformed box should take the class-sharded path"
+    assert sh.solver.lctx.dims is None  # class tier, not box recovery
+
+    single = NSSolver(m2, cfg)
+    assert single.lctx is not None
+    wg0, dwgold0, dwg0 = reference_initial_state(m2)
+    out_s = single.step_fixed(
+        *(jnp.asarray(x) for x in (wg0, dwgold0, dwg0)), num_newton=2
+    )
+    state = tuple(sh.shard_state(x) for x in (wg0, dwgold0, dwg0))
+    out_p = sh.step_fixed(*state, num_newton=2)
+    for a, b in zip(out_s, out_p):
+        scale = float(jnp.abs(a).max()) + 1e-30
+        np.testing.assert_allclose(
+            sh.gather_state(b) / scale, np.asarray(a) / scale, atol=1e-11
+        )
+
+
 def test_partial_box_classes():
     """An L-shaped subset of the lattice (cells removed, nodes kept) is
     still translation-regular: classes detected, assembly matches."""

@@ -219,6 +219,23 @@ def test_coupled_fem_dem_step():
         assert dx[:, 0].mean() > 1e-4, use_grid
         assert abs(dx[:, 1].mean()) < dx[:, 0].mean(), use_grid
 
+    # fixed-Newton (zero-host-sync) coupled step tracks the adaptive one
+    solver = CoupledSolver(
+        mesh, cfg,
+        CoupledConfig(dem=dem_cfg, drag_mu=5.0, substeps=10, use_grid=True),
+    )
+    wg, dwgold, dwg = (jnp.asarray(x) for x in reference_initial_state(mesh))
+    wg_a, dwgold_a, dwg_a, pst_a, _ = solver.step(wg, dwgold, dwg, pst)
+    wg_f, dwgold_f, dwg_f, pst_f, stats_f = solver.step(
+        wg, dwgold, dwg, pst, num_newton=4
+    )
+    assert stats_f is None
+    scale = np.abs(np.asarray(wg_a)).max()
+    np.testing.assert_allclose(
+        np.asarray(wg_f) / scale, np.asarray(wg_a) / scale,
+        rtol=1e-5, atol=1e-7,
+    )
+
 
 @pytest.mark.slow
 def test_grid_dem_matches_candidate_path():
