@@ -235,10 +235,23 @@ def scatter_residual(ctx: FEMContext, elem_f: jnp.ndarray) -> jnp.ndarray:
     return out.reshape((ctx.num_node,) + elem_f.shape[2:])
 
 
+def grouped_feasible(ctx: FEMContext, width: int) -> bool:
+    """The grouped scatter pads every row to the MAX (e,a)-group count G;
+    on high-max-degree irregular meshes (e.g. Delaunay: G ~ 96 where the
+    mean is ~24) its (N, G*4, .) operands exceed HBM. Gate on the largest
+    materialized intermediate."""
+    n, g4 = ctx.num_node, 4 * ctx.grp_width
+    biggest = n * g4 * max(18, width) * 4
+    return biggest <= 2 * 1024**3
+
+
 def scatter_residual_grouped(ctx: FEMContext, elem_f: jnp.ndarray) -> jnp.ndarray:
     """(ne, 4, 6) element vectors -> (N, 6) via the padded (e,a)-group
     gather (same plan as the grouped matrix scatter): gather + dense sum,
-    no scatter/segment ops."""
+    no scatter/segment ops. Falls back to the sorted segment-sum when the
+    padded plan is HBM-infeasible (grouped_feasible)."""
+    if not grouped_feasible(ctx, 1):
+        return scatter_residual(ctx, elem_f)
     n, g = ctx.num_node, ctx.grp_width
     flat = elem_f.reshape(ctx.num_elem * 4, -1)
     rows = jnp.take(flat, ctx.grp_gidx, axis=0, mode="fill", fill_value=0)
@@ -282,6 +295,8 @@ def scatter_matrix_packed(
     The fastest TPU path.
     """
     n, pr = ctx.num_node, ctx.ell_width
+    if method == "grouped" and not grouped_feasible(ctx, pr):
+        method = "prefix"  # same reduction tree class, no padded plan
     if method == "grouped":
         return _grouped_scatter(ctx, upd, ctx.grp_slot, pr)
     upd_sorted = upd[ctx.mat_perm]  # (M, 18) in ELL-target order
