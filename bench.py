@@ -132,7 +132,14 @@ def bench_assembly_spmv(platform):
     cfg = dataclasses.replace(
         cfg,
         assembly_chunk=chunk_env or None,
-        scatter_method=os.environ.get("DEDFLOW_BENCH_SCATTER", "grouped"),
+        scatter_method=os.environ.get(
+            "DEDFLOW_BENCH_SCATTER",
+            # irregular meshes: the degree-tiered gather plan (sparse.tiered);
+            # box/class meshes: the G-uniform grouped plan
+            "tiered"
+            if os.environ.get("DEDFLOW_BENCH_MESH", "box") == "delaunay"
+            else "grouped",
+        ),
         elements_kernel=os.environ.get(
             "DEDFLOW_BENCH_EKERNEL", "pallas" if platform == "tpu" else "xla"
         ),

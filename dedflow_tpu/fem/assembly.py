@@ -80,6 +80,10 @@ class FEMContext:
     # sorted distinct column offsets (col - row) when few enough for DIA
     # storage; None on unstructured/reordered meshes
     dia_offsets: tuple | None = field(metadata=dict(static=True))
+    # degree-tiered grouped-scatter plan (sparse.tiered) - built for
+    # genuinely irregular meshes (no DIA stencil), where it replaces every
+    # assembly scatter with wide-row gathers (scatter_method="tiered")
+    tiered: object | None = None
 
 
 def build_context(
@@ -140,6 +144,7 @@ def build_context(
         grp_slot = np.zeros((0,), dtype=np.int32)
         dia_offsets = None
         grp_plane = None
+        tiered = None
     else:
         ga_rows = ien_np.ravel()  # row of group g = e*4 + a
         ng = ga_rows.size
@@ -163,6 +168,20 @@ def build_context(
         uniq_offs = np.unique(offs_per_nnz)
         dia_offsets = None
         grp_plane = None
+        tiered = None
+        if uniq_offs.size > 40:
+            # genuinely irregular: build the degree-tiered grouped plan
+            # (sparse.tiered) so assembly scatters become wide-row gathers
+            from dedflow_tpu.sparse.tiered import build_tiered_plan
+
+            tiered = build_tiered_plan(
+                node_perm_np.astype(np.int64),
+                gcounts,
+                slot_tbl.astype(np.int32),
+                np.diff(sparsity.row_ptr),
+                ell_col_np,
+                diag_slot_np,
+            )
         if uniq_offs.size <= 40:
             dia_offsets = tuple(int(o) for o in uniq_offs)
             plane_of_nnz = np.searchsorted(uniq_offs, offs_per_nnz).astype(np.int32)
@@ -180,6 +199,7 @@ def build_context(
         grp_plane=grp_plane,
         grp_width=gmax,
         dia_offsets=dia_offsets,
+        tiered=tiered,
         ien=ien,
         ien_t=jnp.asarray(ien_np.T.copy()),
         lhs_geom=lhs_geom_rows(geom.shgrad, geom.det_j, geom.metric),

@@ -128,9 +128,15 @@ def assemble_residual(
             ).astype(w_alpha.dtype)
         else:
             ef = weakform.gather_fields(ctx.ien, w_alpha, dw_alpha)
-            src_e = None if source is None else source[ctx.ien]
+            from dedflow_tpu.utils.xla import take_rows
+
+            src_e = None if source is None else take_rows(source, ctx.ien)
             fe = weakform.ns_residual_elements(ctx, ef, phys, scheme, src_e)
-        if scatter_method == "grouped":
+        if scatter_method == "tiered" and ctx.tiered is not None:
+            from dedflow_tpu.sparse.tiered import scatter_residual_tiered
+
+            f = scatter_residual_tiered(ctx.tiered, fe)
+        elif scatter_method == "grouped":
             f = scatter_residual_grouped(ctx, fe)
         else:
             f = scatter_residual(ctx, fe)
@@ -197,6 +203,31 @@ def assemble_jacobian(
         return dirichlet.apply_mat(
             mask, FSDIAMatrix(data=data, offsets=ctx.dia_offsets)
         )
+    if scatter_method == "tiered" and ctx.tiered is not None and not chunk:
+        # degree-tiered grouped scatter + tiered-ELL matrix (sparse.tiered):
+        # the irregular-mesh fast path - every scatter becomes a gather
+        if elements_kernel == "pallas" and not scalar_implicit:
+            from dedflow_tpu.fem.pallas_kernels import ns_lhs_packed_pallas
+
+            upd = ns_lhs_packed_pallas(
+                ctx.lhs_geom, ctx.ien_t, w_alpha, phys, scheme
+            ).astype(w_alpha.dtype)
+        else:
+            ef = weakform.gather_fields(ctx.ien, w_alpha, dw_alpha)
+            upd = weakform.ns_lhs_packed(ctx, ef, phys, scheme, scalar_implicit)
+        from dedflow_tpu.sparse.tiered import scatter_matrix_tiered
+
+        jmat = scatter_matrix_tiered(ctx.tiered, upd)
+        for fctx in face_ctxs:
+            jmat = jmat.add_ell_delta(
+                scatter_face_matrix_packed(
+                    fctx,
+                    face_lhs_packed(fctx, w_alpha, dw_alpha, phys, scheme),
+                    ctx.num_node,
+                    ctx.ell_width,
+                )
+            )
+        return dirichlet.apply_mat(mask, jmat)
     if chunk:
         data = _chunked_jacobian_data(
             ctx, w_alpha, dw_alpha, phys, scheme, chunk, scalar_implicit

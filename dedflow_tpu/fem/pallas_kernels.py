@@ -347,11 +347,19 @@ def ns_residual_pallas(
     _check_f32_contract(w_alpha.dtype)
     ne = res_geom.shape[1]
     f32 = jnp.float32
-    # ONE wide row-gather per state array (TPU gathers are ~10-100x faster
-    # on wide rows), then component rows via a single transpose each.
+    # ONE packed wide row-gather for BOTH states with a FLAT index (the
+    # 1-D-index lowering is ~4x faster than x[ien]; utils.xla.take_rows),
+    # then component rows via a single transpose each.
+    from dedflow_tpu.utils.xla import take_rows
+
     ien = ien_t.T  # (ne, 4)
-    we = w_alpha.astype(f32)[ien]  # (ne, 4, 6)
-    dwe = dw_alpha.astype(f32)[ien]
+    wd = take_rows(
+        jnp.concatenate(
+            [w_alpha.astype(f32), dw_alpha.astype(f32)], axis=1
+        ),
+        ien,
+    )  # (ne, 4, 12)
+    we, dwe = wd[..., :6], wd[..., 6:]
     rows = lambda a: a.transpose(2, 1, 0).reshape(-1, ne)  # (ne,4,k)->(k*4,ne)
     u_t = rows(we[..., :3])  # (12, ne) row i*4+a
     du_t = rows(dwe[..., :3])
@@ -361,7 +369,9 @@ def ns_residual_pallas(
     dphi_t = dwe[..., 4].T
     dtemp_t = dwe[..., 5].T
     src_t = (
-        jnp.zeros((4, ne), f32) if source is None else source.astype(f32)[ien].T
+        jnp.zeros((4, ne), f32)
+        if source is None
+        else take_rows(source.astype(f32), ien).T
     )
     inp = jnp.concatenate(
         [res_geom.astype(f32), u_t, du_t, p_t, phi_t, temp_t, dphi_t,
@@ -419,9 +429,12 @@ def ns_lhs_packed_pallas(
     _check_f32_contract(w_alpha.dtype)
     ne = geom_rows.shape[1]
     f32 = jnp.float32
-    # ONE wide row-gather (ne, 4, 3), then the transpose to (12, ne) rows
-    # (i*4+a): wide gathers are ~10-100x faster than per-component ones.
-    ue = w_alpha[:, :3].astype(f32)[ien_t.T]  # (ne, 4, 3)
+    # ONE wide row-gather (ne, 4, 3) with a flat index (utils.xla.take_rows
+    # - the 1-D-index lowering is ~4x faster), then the transpose to
+    # (12, ne) rows (i*4+a).
+    from dedflow_tpu.utils.xla import take_rows
+
+    ue = take_rows(w_alpha[:, :3].astype(f32), ien_t.T)  # (ne, 4, 3)
     u_t = ue.transpose(2, 1, 0).reshape(12, ne)
     inp = jnp.concatenate(
         [geom_rows[:12].astype(f32), u_t, geom_rows[12:].astype(f32)]

@@ -57,8 +57,10 @@ class ElementFields(NamedTuple):
 def gather_fields(
     ien: jnp.ndarray, w_alpha: jnp.ndarray, dw_alpha: jnp.ndarray
 ) -> ElementFields:
-    we = w_alpha[ien]  # (ne, 4, 6)
-    dwe = dw_alpha[ien]
+    from dedflow_tpu.utils.xla import take_rows
+
+    we = take_rows(w_alpha, ien)  # (ne, 4, 6)
+    dwe = take_rows(dw_alpha, ien)
     return ElementFields(
         u=we[..., :3],
         p=dwe[..., 3],

@@ -82,8 +82,10 @@ class FSBSRMatrix:
         """(N, 6) -> (N, 6): one row-gather + dense multiply-reduce,
         replacing the reference's 4x4 grid of cuSPARSE SpMVs
         (MatrixFSAMVPBY, matrix.c:471-497)."""
+        from dedflow_tpu.utils.xla import take_rows
+
         d = self.data
-        xc = x[self.ell_col]  # (N, PR, 6)
+        xc = take_rows(x, self.ell_col)  # (N, PR, 6)
         c = lambda k: d[..., k]
         yu = [
             jnp.sum(
@@ -109,7 +111,9 @@ class FSBSRMatrix:
     # -- component-restricted matvecs (SIMPLE/Schur PC, solver.pc) -----
     def matvec_up(self, p: jnp.ndarray) -> jnp.ndarray:
         """(N,) pressure -> (N, 3) velocity rows: the A_up block only."""
-        pc_ = p[self.ell_col]  # (N, PR)
+        from dedflow_tpu.utils.xla import take_rows
+
+        pc_ = take_rows(p, self.ell_col)  # (N, PR)
         d = self.data
         return jnp.stack(
             [jnp.sum(d[..., UP(i)] * pc_, axis=1) for i in range(3)], axis=-1
@@ -117,7 +121,9 @@ class FSBSRMatrix:
 
     def matvec_pu(self, u: jnp.ndarray) -> jnp.ndarray:
         """(N, 3) velocity -> (N,) pressure row: the A_pu block only."""
-        uc = u[self.ell_col]  # (N, PR, 3)
+        from dedflow_tpu.utils.xla import take_rows
+
+        uc = take_rows(u, self.ell_col)  # (N, PR, 3)
         d = self.data
         return jnp.sum(
             d[..., PU(0)] * uc[..., 0]
@@ -128,7 +134,9 @@ class FSBSRMatrix:
 
     def matvec_pp(self, p: jnp.ndarray) -> jnp.ndarray:
         """(N,) -> (N,): the A_pp block only."""
-        return jnp.sum(self.data[..., PP] * p[self.ell_col], axis=1)
+        from dedflow_tpu.utils.xla import take_rows
+
+        return jnp.sum(self.data[..., PP] * take_rows(p, self.ell_col), axis=1)
 
     # ------------------------------------------------------------------
     def _diag(self, comp: int) -> jnp.ndarray:
