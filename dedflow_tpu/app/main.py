@@ -228,6 +228,21 @@ def main(argv=None) -> int:
         cfg = dataclasses.replace(
             cfg, krylov=dataclasses.replace(cfg.krylov, precision=args.precision)
         )
+    if (
+        cfg.krylov.precision == "f64"
+        and devs[0].platform == "tpu"
+        and mesh.num_tet > 200_000
+    ):
+        # XLA-emulated f64 GMRES measured ~50 s/solve at 1M tets without
+        # reaching 1e-6 in 200 iterations (RESIDUAL_TPU_LARGE.json); `ir`
+        # reaches <=1e-10 true f64 residuals in seconds at the same size.
+        log.warning(
+            "--precision f64 on TPU at %d tets runs XLA-EMULATED f64 "
+            "GMRES (~10x slower than f32 and unable to meet tight "
+            "tolerances at this scale); use --precision ir for 1e-10 "
+            "linear residuals at f32-class speed",
+            mesh.num_tet,
+        )
     dtype = None
     if args.dtype:
         dtype = jnp.float32 if args.dtype == "f32" else jnp.float64

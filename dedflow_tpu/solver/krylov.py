@@ -206,22 +206,22 @@ def _gmres_restarted(
     num_outer = -(-maxit // m)
 
     def cond(carry):
-        x, it, rnrm, done = carry
+        x, it, tot, rnrm, done = carry
         return jnp.logical_and(it < num_outer, jnp.logical_not(done))
 
     def body(carry):
-        x, it, _, _ = carry
+        x, it, tot, _, _ = carry
         # inner cycle stops early only on the GLOBAL absolute tolerance
         sol = gmres(matvec, b, x, maxit=m, atol=tol, rtol=0.0, pc=pc)
         # true residual at the restart boundary
         rnrm = jnp.linalg.norm(_flat(b - matvec(sol.x)))
-        return sol.x, it + 1, rnrm, rnrm < tol
+        return sol.x, it + 1, tot + sol.iters, rnrm, rnrm < tol
 
-    x, outers, rnrm, done = jax.lax.while_loop(
-        cond, body, (x0, jnp.int32(0), beta0, beta0 < tol)
+    x, outers, total_iters, rnrm, done = jax.lax.while_loop(
+        cond, body, (x0, jnp.int32(0), jnp.int32(0), beta0, beta0 < tol)
     )
     return KrylovInfo(
-        x=x, iters=outers * m, resnorm=rnrm, resnorm0=beta0, converged=done
+        x=x, iters=total_iters, resnorm=rnrm, resnorm0=beta0, converged=done
     )
 
 

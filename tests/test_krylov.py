@@ -130,8 +130,9 @@ def test_gmres_restarted_converges():
     assert bool(rest.converged)
     np.testing.assert_allclose(np.asarray(rest.x), x_true, rtol=1e-7, atol=1e-8)
     np.testing.assert_allclose(np.asarray(full.x), x_true, rtol=1e-8, atol=1e-9)
-    # restarted iter count is a multiple of m and bounded by maxit rounding
-    assert int(rest.iters) % 20 == 0
+    # iters counts ACTUAL inner iterations (the final cycle may stop
+    # early): at least the optimal full-GMRES count, at most maxit
+    assert int(full.iters) <= int(rest.iters) <= 200
 
 
 def test_gmres_iterative_refinement_reaches_tight_tol():

@@ -121,25 +121,23 @@ def main() -> None:
         "value": round(min(walls[1:]) if len(walls) > 1 else walls[0], 3),
         "pipelined_step_s": round(pipelined, 3),
     }
-    line = json.dumps(out)
-    print(line)
+    print(json.dumps(out))
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     path = os.path.join(repo, "COUPLED_TPU.json")
-    if pc != "fieldsplit":
-        # merge as a PC variant next to the default entry
-        try:
-            with open(path) as fh:
-                doc = json.load(fh)
-        except Exception:  # noqa: BLE001
-            doc = {}
-        if "metric" in doc:  # legacy single-entry layout
-            doc = {"default": doc}
-        doc[f"pc_{pc}"] = out
-        with open(path, "w") as fh:
-            json.dump(doc, fh, indent=1)
-    else:
-        with open(path, "w") as fh:
-            fh.write(line + "\n")
+    # both the default and the PC variants merge into one nested document
+    # (the default previously overwrote the whole file, deleting committed
+    # pc_* entries) with one consistent serialization
+    try:
+        with open(path) as fh:
+            doc = json.load(fh)
+    except Exception:  # noqa: BLE001
+        doc = {}
+    if "metric" in doc:  # legacy single-entry layout
+        doc = {"default": doc}
+    doc["default" if pc == "fieldsplit" else f"pc_{pc}"] = out
+    with open(path, "w") as fh:
+        json.dump(doc, fh, indent=1)
+        fh.write("\n")
 
 
 if __name__ == "__main__":
