@@ -1,0 +1,187 @@
+"""Multi-chip SCALING evidence: collective traffic of the sharded step.
+
+VERDICT round-3 item 7: the 8-device dryrun proves correctness; this
+tool quantifies the communication the sharded design actually performs.
+On the 8-virtual-CPU mesh (the same regime the driver's dryrun uses) it
+compiles the FULL fixed-Newton sharded step, walks the optimized HLO,
+and records per-collective byte totals + counts. Bytes - not CPU wall
+time - are the scaling evidence: they are what ICI would carry on real
+hardware, and they are size-exact because the compiled program is.
+
+Writes MULTICHIP_PERF.json in the repo root:
+  - per-step collective bytes by op kind (collective-permute,
+    all-reduce, all-gather, reduce-scatter)
+  - the same for ONE GMRES iteration-dominant piece (the SpMV) so the
+    per-iteration cost is visible
+  - useful ratios: collective bytes / local matrix bytes.
+
+Usage:  python tools/multichip_perf.py [box_n=31] [devices=8]
+        (re-executes itself on the CPU backend if the current backend
+        has too few devices, like __graft_entry__.dryrun_multichip)
+"""
+
+import json
+import os
+import re
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _respawn(n: int) -> None:
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={n}"
+    ).strip()
+    env["DEDFLOW_MCPERF_CHILD"] = "1"
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)] + sys.argv[1:],
+        env=env,
+    )
+    sys.exit(out.returncode)
+
+
+_HLO_SIZES = {"f32": 4, "f64": 8, "bf16": 2, "s32": 4, "u32": 4, "pred": 1,
+              "s8": 1, "u8": 1, "f16": 2, "s64": 8, "u64": 8}
+
+_SHAPE_RE = re.compile(r"(f32|f64|bf16|f16|s64|u64|s32|u32|s8|u8|pred)\[([0-9,]*)\]")
+
+
+def _bytes_of_shapes(text: str) -> int:
+    """Sum the byte sizes of every typed shape literal in an HLO RESULT
+    type: the segment between ' = ' and the op name's '(' (covers both
+    scalar results `%n = f32[8]{0} op(...)` and tuples
+    `%n = (f32[8]{0}, f32[8]{0}) op(...)`)."""
+    rhs = text.split(" = ", 1)[1] if " = " in text else text
+    cut = rhs.find("(")
+    # tuple result: the type itself starts with '('; cut at the op call
+    if cut == 0:
+        close = rhs.find(")")
+        cut = rhs.find("(", close)
+    result_type = rhs[:cut] if cut > 0 else rhs
+    total = 0
+    for m in _SHAPE_RE.finditer(result_type):
+        dtype, dims = m.groups()
+        k = _HLO_SIZES[dtype]
+        cnt = 1
+        if dims:
+            for d in dims.split(","):
+                cnt *= int(d)
+        total += cnt * k
+    return total
+
+
+_COLL_KINDS = (
+    "collective-permute", "all-reduce", "all-gather", "reduce-scatter",
+    "all-to-all",
+)
+
+
+def collective_bytes(hlo: str) -> dict:
+    out = {k: dict(bytes=0, count=0) for k in _COLL_KINDS}
+    for line in hlo.splitlines():
+        ls = line.strip()
+        if " = " not in ls:
+            continue
+        rhs = ls.split(" = ", 1)[1]
+        for kind in _COLL_KINDS:
+            # match the op name at the start of the rhs expression
+            if rhs.startswith(kind) or f" {kind}(" in f" {rhs}":
+                out[kind]["bytes"] += _bytes_of_shapes(ls)
+                out[kind]["count"] += 1
+                break
+    return out
+
+
+def main() -> None:
+    n_box = int(sys.argv[1]) if len(sys.argv) > 1 else 31
+    ndev = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+
+    import jax
+
+    if "DEDFLOW_MCPERF_CHILD" in os.environ:
+        # the container sitecustomize pins jax_platforms="axon,cpu"; the
+        # child must force the CPU backend before initialization
+        jax.config.update("jax_platforms", "cpu")
+    elif jax.device_count() < ndev:
+        _respawn(ndev)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dedflow_tpu.app.scenarios import (
+        reference_initial_state,
+        reference_scenario_config,
+    )
+    from dedflow_tpu.mesh.gen import box_mesh
+    from dedflow_tpu.parallel.sharded import ShardedNSSolver
+
+    mesh = box_mesh(n_box, n_box, n_box)
+    cfg = reference_scenario_config()
+    dmesh = jax.make_mesh((ndev,), ("dd",))
+    solver = ShardedNSSolver(mesh, cfg, dmesh)
+    wg, dwgold, dwg = (solver.shard_state(s) for s in reference_initial_state(mesh))
+
+    # full fixed-Newton step (4 Newton iterations, GMRES(120) inside)
+    args = (solver.ctx, solver.face_ctxs, solver.mask, wg, dwgold, dwg)
+    step_c = solver._step_fixed.lower(*args, num_newton=4).compile()
+    hlo = step_c.as_text()
+    step_coll = collective_bytes(hlo)
+
+    # one SpMV (the GMRES-iteration-dominant collective load)
+    jmat, _pc = solver.solver._assemble_system(*args)
+    lat = jmat.__class__.__name__ == "FSDIAMatrixT"
+    f = solver.residual(wg, dwgold, dwg)
+    mv = jax.jit(lambda m, v: m.matvec_t(v) if lat else m.matvec(v))
+    spmv_c = mv.lower(jmat, f).compile()
+    spmv_coll = collective_bytes(spmv_c.as_text())
+
+    # local matrix size for the ratio
+    mat_bytes = sum(
+        np.prod(a.shape) * a.dtype.itemsize
+        for a in jax.tree_util.tree_leaves(jmat)
+        if hasattr(a, "shape")
+    )
+
+    # execute one step to confirm the compiled program runs
+    try:
+        out = step_c(*args)
+        jax.block_until_ready(out)
+        ran = True
+    except Exception:  # noqa: BLE001
+        ran = False
+
+    doc = dict(
+        metric="sharded_step_collective_bytes",
+        devices=ndev,
+        platform=jax.devices()[0].platform,
+        num_tet=mesh.num_tet,
+        num_node=mesh.num_node,
+        newton_iters=4,
+        gmres_maxit=cfg.krylov.max_iter,
+        step_collectives=step_coll,
+        spmv_collectives=spmv_coll,
+        step_collective_bytes_total=sum(
+            v["bytes"] for v in step_coll.values()
+        ),
+        local_matrix_bytes=int(mat_bytes),
+        executed=ran,
+        note=(
+            "collective bytes from the compiled sharded step's optimized "
+            "HLO on the 8-virtual-device CPU mesh (sizes are exact; only "
+            "timing would differ on real ICI). all-gather/all-to-all "
+            "should stay ~0: the design moves boundary bands with "
+            "collective-permute and scalars with all-reduce."
+        ),
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "MULTICHIP_PERF.json"), "w") as fh:
+        json.dump(doc, fh, indent=1)
+        fh.write("\n")
+    print(json.dumps(doc))
+
+
+if __name__ == "__main__":
+    main()
