@@ -352,8 +352,14 @@ def bench_assembly_spmv(platform):
                 restart,
             ),
         }
-        if dims is None:  # class-tier contexts are geometry-blind: no MG
-            variants.pop("mg")
+        if dims is None:
+            # class-tier contexts are geometry-blind, but the grid is
+            # recoverable from the stencil offsets (solver.mg.infer_dims)
+            from dedflow_tpu.solver.mg import infer_dims
+
+            dims = infer_dims(ctx.offsets, ctx.num_node)
+            if dims is None:
+                variants.pop("mg")
         for name, (mkpc, restart) in variants.items():
             def tsolve(jm, b, mkpc=mkpc, restart=restart):
                 sol = gmres(

@@ -70,6 +70,45 @@ def decode_offsets(offsets, gx: int, gy: int) -> list[tuple[int, int, int]]:
     return out
 
 
+def infer_dims(offsets, num_rows: int) -> tuple[int, int, int] | None:
+    """Recover the node-grid shape (gx, gy, gz) from linear DIA offsets
+    alone, for translation-class contexts that carry no geometry
+    (fem.lattice.build_class_context sets dims=None).
+
+    A translation-regular numbering has strides (1, sy, sz) with
+    sy = gx, sz = gx * gy; its stencil offsets are {ox + sy*oy + sz*oz}
+    with each |o| <= 1, so sy and sz are recoverable from the offset set:
+    candidates come from the smallest offsets > 1 (one of sy-1, sy, sy+1)
+    and from the largest offset (sz + sy*oy + ox). Every candidate pair is
+    validated by `decode_offsets`; gz then follows from the row count.
+    Returns None when no consistent decode exists (genuinely irregular
+    stencils, or a partial grid where num_rows != gx*gy*gz)."""
+    offs = sorted(int(o) for o in offsets)
+    pos = [o for o in offs if o > 1]
+    if not pos or num_rows <= 0:
+        return None
+    omax = pos[-1]
+    sy_cands = sorted(
+        {p + d for p in pos[:3] for d in (-1, 0, 1) if p + d > 1}
+    )
+    for sy in sy_cands:
+        for dz in (-sy - 1, -sy, -sy + 1, -1, 0, 1, sy - 1, sy, sy + 1):
+            sz = omax + dz
+            if sz <= sy or sz % sy != 0:
+                continue
+            if num_rows % sz != 0:
+                continue
+            gx, gy, gz = sy, sz // sy, num_rows // sz
+            if gy < 1 or gz < 1:
+                continue
+            try:
+                decode_offsets(offs, gx, gy)
+            except ValueError:
+                continue
+            return (gx, gy, gz)
+    return None
+
+
 @jax.tree_util.register_dataclass
 @dataclass
 class ScalarDIALevel:
@@ -242,14 +281,24 @@ class MGSIMPLEPCT:
 
     @staticmethod
     def from_matrix(
-        mat, dims: tuple, outer: int = 2, omega: float = 0.85,
+        mat, dims: tuple | None, outer: int = 2, omega: float = 0.85,
         min_nodes: int = 1024,
     ) -> "MGSIMPLEPCT":
-        """dims = (gx, gy, gz) node-grid shape; mat = FSDIAMatrixT."""
+        """dims = (gx, gy, gz) node-grid shape; mat = FSDIAMatrixT.
+        dims=None infers the grid from the DIA offsets (`infer_dims`) -
+        the translation-class tier carries no geometry but its stencil
+        still encodes the strides; raises ValueError if inference fails."""
         from dedflow_tpu.solver.pc import NSFieldSplitPCT
 
         base = NSFieldSplitPCT.from_diag_rows(mat.diag_rows())
         n = mat.num_rows
+        if dims is None:
+            dims = infer_dims(mat.offsets, n)
+            if dims is None:
+                raise ValueError(
+                    "MGSIMPLEPCT: node grid could not be inferred from "
+                    f"the DIA offsets {mat.offsets} at {n} rows"
+                )
         assert n == dims[0] * dims[1] * dims[2], (
             f"grid {dims} does not match {n} pressure rows"
         )

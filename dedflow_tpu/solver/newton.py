@@ -98,22 +98,28 @@ def assemble_system(
                 stacklevel=2,
             )
             pc_type = "simple"
-        if pc_type == "mg" and ctx.dims is None:
-            import warnings
+        dims = ctx.dims
+        if pc_type == "mg" and dims is None:
+            # translation-class contexts are geometry-blind, but the grid
+            # strides are recoverable from the stencil offsets alone
+            from dedflow_tpu.solver.mg import infer_dims
 
-            warnings.warn(
-                "krylov.pc='mg' needs the structured node grid "
-                "(LatticeContext.dims); translation-class contexts are "
-                "geometry-blind - falling back to the SIMPLE "
-                "preconditioner",
-                stacklevel=2,
-            )
-            pc_type = "simple"
+            dims = infer_dims(ctx.offsets, ctx.num_node)
+            if dims is None:
+                import warnings
+
+                warnings.warn(
+                    "krylov.pc='mg' needs a structured node grid and none "
+                    "could be inferred from the class stencil - falling "
+                    "back to the SIMPLE preconditioner",
+                    stacklevel=2,
+                )
+                pc_type = "simple"
         if pc_type == "mg":
             from dedflow_tpu.solver.mg import MGSIMPLEPCT
 
             return jmat, MGSIMPLEPCT.from_matrix(
-                jmat, dims=ctx.dims, outer=pc_mg_outer
+                jmat, dims=dims, outer=pc_mg_outer
             )
         if pc_type == "simple":
             from dedflow_tpu.solver.pc import SIMPLEPCT
