@@ -97,8 +97,8 @@ def _matvec_kernel(
         # ecol (jnp.min/max) stalls the vector pipe on a vector->scalar
         # transfer every vreg - measured ~230 cycles per window
         sched = vwin_ref[v]
-        wlo = sched >> 8
-        nwin = sched & 255
+        wlo = sched >> 10
+        nwin = sched & 1023
 
         def win_body(t, g):
             w = wlo + t

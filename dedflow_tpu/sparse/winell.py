@@ -88,7 +88,7 @@ class WinPlan:
     grow: np.ndarray  # (S,) int32 GLOBAL row (pads: pack base row)
     vspan: np.ndarray  # (S//128,) int32 x-tile span of each entry vreg
     vqlo: np.ndarray  # (S//128,) int32 first x-tile of each entry vreg
-    vwin: np.ndarray  # (S//128,) int32 packed (wlo << 8 | nwin) schedule
+    vwin: np.ndarray  # (S//128,) int32 packed (wlo << 10 | nwin) schedule
     diag_entry: np.ndarray  # (N,) int64 entry slot of the diagonal
     # kernel streaming schedule (sparse.win_kernels): packs per grid step
     # is fixed (_GP); vmax = max vreg count of any step (static DMA size)
@@ -148,12 +148,14 @@ def build_winell_plan(
     vqlo = q.min(axis=1).astype(np.int32)
     vspan = (q.max(axis=1) - vqlo + 1).astype(np.int32)
     # 256-lane window schedule for the matvec kernel, packed as one
-    # prefetch int per vreg: (wlo << 8) | nwin
+    # prefetch int per vreg: (wlo << 10) | nwin (10 window-count bits:
+    # locality orderings with rare long-range couplings, e.g. geometric
+    # snake orderings, can exceed 255 windows on outlier vregs)
     w = (ecol >> 8).reshape(-1, 128)
     wlo = w.min(axis=1).astype(np.int64)
     nwin = (w.max(axis=1) - wlo + 1).astype(np.int64)
-    assert int(nwin.max()) < 256
-    vwin = ((wlo << 8) | nwin).astype(np.int32)
+    assert int(nwin.max()) < 1024 and int(wlo.max()) < (1 << 21)
+    vwin = ((wlo << 10) | nwin).astype(np.int32)
     # diagonal entries (for PC setup / unit-diagonal masking)
     diag_nnz = np.empty(n, dtype=np.int64)
     for r in range(0):  # vectorized below
@@ -239,7 +241,7 @@ class WinELLMatrix:
     grow: jnp.ndarray  # (1, S) int32 global row
     vqlo: jnp.ndarray  # (num_vreg,) int32
     vspan: jnp.ndarray  # (num_vreg,) int32
-    vwin: jnp.ndarray  # (num_vreg,) int32 packed (wlo << 8 | nwin)
+    vwin: jnp.ndarray  # (num_vreg,) int32 packed (wlo << 10 | nwin)
     pack_voff: jnp.ndarray  # (nsteps*GP + 1,) int32 (prefetch operand)
     diag_entry: jnp.ndarray  # (N,) int32
     num_node: int = dataclass_field(metadata=dict(static=True))
