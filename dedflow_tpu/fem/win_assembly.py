@@ -1,0 +1,258 @@
+"""Irregular-mesh (Delaunay-class) assembly on the WinELL/stream kernels.
+
+This is the round-4 hot path for meshes with NO translation structure -
+the input class where the reference's AssembleSystemTet runs at full
+device speed with zero structure assumptions (assemble.cu:1467-1762).
+The TPU pipeline (mesh RCM-reordered + elements sorted by min node,
+mesh.reorder):
+
+  residual F:  one flat row-gather (ne, 4, 12) with a FUSED transpose to
+               (48, ne) state rows (measured 14 ms at 1.18M tets - the
+               transpose rides the gather for free, separate XLA
+               transposes cost 22 ms), -> fused Pallas element kernel
+               (fem.pallas_kernels._res_kernel) -> windowed stream
+               scatter (sparse.win_stream) into (6, N).
+  jacobian J:  row-gather u -> fused LHS element kernel -> scatter of
+               the (ne, 16, 18) packed blocks into WinELL entry values
+               (sparse.winell), either through the stream kernel
+               (comps split 8+8) or the sorted segment-sum oracle.
+  SpMV:        sparse.win_kernels.winell_matvec (4.9 ms at 1.18M tets).
+
+The general gather path (fem.assembly + sparse.tiered) remains the
+oracle; equivalence is tested in tests/test_win_assembly.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from dataclasses import field as dataclass_field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dedflow_tpu.fem import pallas_kernels as pk
+from dedflow_tpu.sparse import fsbsr as fs
+from dedflow_tpu.sparse import win_stream as ws
+from dedflow_tpu.sparse import winell as we
+
+# row permutation: element-kernel input rows from the (48, ne) fused
+# gather-transpose of take_rows(concat(wa, dwa), ien) (rows a*12+c):
+#   u rows i*4+a, du rows i*4+a, p (dwa comp 3), phi, T, dphi, dT
+_STATE_PERM = np.array(
+    [a * 12 + i for i in range(3) for a in range(4)]  # u (wa 0:3)
+    + [a * 12 + 6 + i for i in range(3) for a in range(4)]  # du (dwa 0:3)
+    + [a * 12 + 9 for a in range(4)]  # p (dwa 3)
+    + [a * 12 + 4 for a in range(4)]  # phi (wa 4)
+    + [a * 12 + 5 for a in range(4)]  # T (wa 5)
+    + [a * 12 + 10 for a in range(4)]  # dphi (dwa 4)
+    + [a * 12 + 11 for a in range(4)]  # dT (dwa 5)
+)
+
+# residual kernel output rows a*6+c -> scatter source rows c*4+a:
+# position c*4+a takes kernel row a*6+c
+_RES_PERM = np.array([a * 6 + c for c in range(6) for a in range(4)])
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class WinAssemblyContext:
+    """Device tables + host plans for the windowed irregular path."""
+
+    # element tables
+    res_geom: jnp.ndarray  # (19, ne) pk.res_geom_rows
+    lhs_geom: jnp.ndarray  # (15, ne) pk.lhs_geom_rows
+    ien: jnp.ndarray  # (ne, 4) int32
+    # residual scatter (targets = nodes, sources = slots a*ne+e)
+    fsc_idx: jnp.ndarray  # (2, S) stream_index_rows
+    # jacobian scatter (targets = WinELL entry slots)
+    jsc_idx: jnp.ndarray | None  # (2, SJ) or None (xla scatter)
+    upd_perm: jnp.ndarray | None  # (ne*16,) int32 sorted-by-entry order
+    upd_tgt: jnp.ndarray | None  # (ne*16,) int32 entry slot, sorted
+    mult_win: jnp.ndarray  # (2, S_w) static phi/T diagonal values
+    num_node: int = dataclass_field(metadata=dict(static=True))
+    num_elem: int = dataclass_field(metadata=dict(static=True))
+    # host-side plans (hashable statics)
+    fsc_plan: object = dataclass_field(default=None, metadata=dict(static=True))
+    jsc_plan: object = dataclass_field(default=None, metadata=dict(static=True))
+    win_plan: object = dataclass_field(default=None, metadata=dict(static=True))
+    jac_scatter: str = dataclass_field(default="stream", metadata=dict(static=True))
+
+    @property
+    def dia_offsets(self):  # parity with LatticeContext for callers
+        return None
+
+
+def build_win_context(
+    mesh, sparsity, dtype=jnp.float32, jac_scatter: str = "stream"
+) -> WinAssemblyContext:
+    """mesh must be RCM-reordered with elements sorted by min node
+    (mesh.reorder.reorder_mesh) - locality is what bounds the stream
+    windows. `sparsity` = sparse.topology.build_sparsity(ien, n)."""
+    from dedflow_tpu.fem.assembly import tet_geometry
+
+    ien = np.asarray(mesh.ien, dtype=np.int64)
+    ne, n = ien.shape[0], mesh.num_node
+    xg = jnp.asarray(mesh.xg, dtype=jnp.float32)
+    geom = tet_geometry(xg[jnp.asarray(ien)])
+    res_geom = pk.res_geom_rows(geom.shgrad, geom.det_j, geom.metric)
+    lhs_geom = pk.lhs_geom_rows(geom.shgrad, geom.det_j, geom.metric)
+
+    # residual scatter: contribution (e, a) -> node ien[e, a], source
+    # col a*ne + e (a row-permuted reshape of the kernel output)
+    tgt = ien.T.reshape(-1)  # (4ne,) a-major
+    src = np.arange(4 * ne, dtype=np.int64)
+    fsc_plan = ws.build_stream_plan(tgt, src, n, 4 * ne)
+    fsc_idx = ws.stream_index_rows(fsc_plan)
+
+    # WinELL matrix plan on the nodal sparsity
+    win_plan = we.build_winell_plan(
+        sparsity.row_ptr, sparsity.col_ind, n
+    )
+
+    # jacobian scatter: contribution (e, ab) -> entry slot
+    elem_nnz = np.asarray(sparsity.elem_nnz, dtype=np.int64).reshape(ne, 16)
+    entry_tgt = win_plan.entry_of_nnz[elem_nnz]  # (ne, 16)
+    jsc_idx = jsc_plan = upd_perm = upd_tgt = None
+    if jac_scatter == "stream":
+        # source col ab*ne + e (row-permuted reshape of the LHS output)
+        jtgt = entry_tgt.T.reshape(-1)
+        jsrc = np.arange(16 * ne, dtype=np.int64)
+        jsc_plan = ws.build_stream_plan(jtgt, jsrc, win_plan.S, 16 * ne)
+        jsc_idx = ws.stream_index_rows(jsc_plan)
+    else:
+        flat_tgt = entry_tgt.reshape(-1)
+        perm = np.argsort(flat_tgt, kind="stable")
+        upd_perm = jnp.asarray(perm.astype(np.int32))
+        upd_tgt = jnp.asarray(flat_tgt[perm].astype(np.int32))
+
+    # static phi/T identity diagonals (frozen mode): nodal tet
+    # multiplicity at the diagonal entries (assemble.cu:757-758)
+    mult = np.bincount(ien.ravel(), minlength=n).astype(np.float32)
+    mw = np.zeros((2, win_plan.S), np.float32)
+    mw[:, win_plan.diag_entry] = mult[None, :]
+    return WinAssemblyContext(
+        res_geom=res_geom.astype(jnp.float32),
+        lhs_geom=lhs_geom.astype(jnp.float32),
+        ien=jnp.asarray(ien.astype(np.int32)),
+        fsc_idx=fsc_idx,
+        jsc_idx=jsc_idx,
+        upd_perm=upd_perm,
+        upd_tgt=upd_tgt,
+        mult_win=jnp.asarray(mw),
+        num_node=n,
+        num_elem=ne,
+        fsc_plan=fsc_plan,
+        jsc_plan=jsc_plan,
+        win_plan=win_plan,
+        jac_scatter=jac_scatter,
+    )
+
+
+# ---------------------------------------------------------------------------
+
+
+def residual_win(
+    ctx: WinAssemblyContext,
+    w_alpha: jnp.ndarray,  # (N, 6)
+    dw_alpha: jnp.ndarray,  # (N, 6)
+    phys,
+    scheme,
+    source=None,
+    backend: str = "pallas",
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(6, N) component-major residual (volume terms)."""
+    from dedflow_tpu.utils.xla import take_rows
+
+    f32 = jnp.float32
+    ne = ctx.num_elem
+    wd = take_rows(
+        jnp.concatenate(
+            [w_alpha.astype(f32), dw_alpha.astype(f32)], axis=1
+        ),
+        ctx.ien,
+    ).reshape(ne, 48)
+    state_rows = wd.T[jnp.asarray(_STATE_PERM)]  # (44, ne)
+    src_rows = (
+        jnp.zeros((4, ne), f32)
+        if source is None
+        else take_rows(source.astype(f32), ctx.ien).T
+    )
+    inp = jnp.concatenate(
+        [ctx.res_geom, state_rows, src_rows]
+    )  # (67, ne)
+    out24 = pk.res_rows_call(
+        inp, phys, scheme, backend=backend, interpret=interpret
+    )
+    fvals = out24[jnp.asarray(_RES_PERM)].reshape(6, 4 * ne)
+    if backend == "xla":
+        return ws.stream_reduce_xla(ctx.fsc_plan, fvals)
+    return ws.win_stream_reduce(
+        ctx.fsc_plan, ctx.fsc_idx, fvals, interpret=interpret
+    )
+
+
+def jacobian_win(
+    ctx: WinAssemblyContext,
+    w_alpha: jnp.ndarray,  # (N, 6)
+    phys,
+    scheme,
+    backend: str = "pallas",
+    interpret: bool = False,
+) -> we.WinELLMatrix:
+    """WinELL field-split Jacobian (frozen-scalar mode)."""
+    from dedflow_tpu.utils.xla import take_rows
+
+    f32 = jnp.float32
+    ne = ctx.num_elem
+    ue = take_rows(w_alpha[:, :3].astype(f32), ctx.ien).reshape(ne, 12)
+    u_rows = ue.T[
+        jnp.asarray(
+            np.array([a * 3 + i for i in range(3) for a in range(4)])
+        )
+    ]  # (12, ne) rows i*4+a
+    inp = jnp.concatenate(
+        [ctx.lhs_geom[:12], u_rows, ctx.lhs_geom[12:]]
+    )  # (27, ne)
+    out288 = pk.lhs_rows_call(
+        inp, phys, scheme,
+        backend="xla" if backend == "xla" else "pallas",
+        interpret=interpret,
+    )
+    # rows (ab)*18 + c
+    plan = ctx.win_plan
+    if ctx.jac_scatter == "stream":
+        # comps ride two 8-row stream passes: map kernel rows (ab*18+c)
+        # -> (c*16+ab) for the 16 packed vel/p comps (c < 16; comps
+        # 16/17 are the static identity diagonals, installed below)
+        sel = np.array(
+            [ab * 18 + c for c in range(16) for ab in range(16)]
+        )
+        src16 = out288[jnp.asarray(sel)].reshape(16, 16 * ne)
+        if backend == "xla":
+            lo = ws.stream_reduce_xla(ctx.jsc_plan, src16[:8])
+            hi = ws.stream_reduce_xla(ctx.jsc_plan, src16[8:])
+        else:
+            lo = ws.win_stream_reduce(
+                ctx.jsc_plan, ctx.jsc_idx, src16[:8], interpret=interpret
+            )
+            hi = ws.win_stream_reduce(
+                ctx.jsc_plan, ctx.jsc_idx, src16[8:], interpret=interpret
+            )
+        ent16 = jnp.concatenate([lo, hi], axis=0)  # (16, S_w)
+    else:
+        # sorted segment-sum oracle (indices precomputed)
+        upd = out288.reshape(16, 18, ne)[:, :16]  # (16ab, 16c, ne)
+        flat = upd.transpose(2, 0, 1).reshape(ne * 16, 16)
+        flat = flat[ctx.upd_perm]
+        summed = jax.ops.segment_sum(
+            flat, ctx.upd_tgt, num_segments=plan.S,
+            indices_are_sorted=True,
+        )  # (S, 16)
+        ent16 = summed.T
+    # WinELL component order: fsbsr comps 0..15 -> COMP2WIN rows
+    vals = jnp.zeros((we.WIN_ROWS, plan.S), jnp.float32)
+    vals = vals.at[jnp.asarray(we.COMP2WIN[:16]), :].set(ent16)
+    vals = vals.at[16:18, :].set(ctx.mult_win)
+    return we.winell_matrix(plan, vals, backend=backend)

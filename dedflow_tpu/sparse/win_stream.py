@@ -20,7 +20,8 @@ y[c, tgt(s)] += x[c, src(s)] - planned host-side as:
     128-entry vreg gathers from 1-2 aligned 128-lane windows; the
     window schedule is prefetched to SMEM),
   * per-pack source slab [lo, lo+W) DMA'd to VMEM (double-buffered;
-    W static = the max pack span, 128-aligned),
+    W static = the max pack span, 128-aligned) - or kept fully VMEM-
+    resident when the source is small (resident=True, e.g. nodal state),
   * the reduction as quad-batched bf16-split one-hot MXU contractions,
     exact to f32 rounding (sparse.win_kernels proved the recipe).
 
@@ -68,10 +69,12 @@ class StreamPlan:
     elive: np.ndarray  # (S,) bool real contribution
     slot_of_contrib: np.ndarray  # (n_contrib,) int64 -> slot
     pack_voff: np.ndarray  # (num_pack + 1,) int32 vreg offsets
-    pack_lo: np.ndarray  # (num_pack,) int32 slab base col (128-aligned)
+    pack_lo: np.ndarray  # (num_pack,) int32 slab base col / 128 (the
+    # kernel multiplies back so Mosaic can prove 128-divisibility)
     vwin: np.ndarray  # (S//128,) int32 (wlo << 10 | nwin), slab-relative
-    W: int  # static slab width (cols, 256-multiple)
+    W: int  # static slab width (cols, 512-multiple)
     vmax: int  # max vregs per pack (static stream DMA size)
+    resident: bool  # source fully VMEM-resident (pack_lo all zero)
 
     @property
     def num_vreg(self) -> int:
@@ -84,6 +87,7 @@ def build_stream_plan(
     num_tgt: int,
     src_size: int,
     sp: int = SP,
+    resident: bool | None = None,
 ) -> StreamPlan:
     """Plan y[c, tgt[s]] += x[c, src[s]] over contributions s.
 
@@ -93,6 +97,10 @@ def build_stream_plan(
     tgt = np.asarray(tgt, dtype=np.int64).reshape(-1)
     src = np.asarray(src, dtype=np.int64).reshape(-1)
     assert tgt.shape == src.shape
+    if resident is None:
+        # small sources (nodal state) stay fully VMEM-resident: one DMA
+        # for the whole grid, absolute indices (pack_lo = 0)
+        resident = src_size * 8 * 4 <= 24 * 1024 * 1024
     n_contrib = tgt.size
     npk = -(-num_tgt // sp)
     order = np.lexsort((src, tgt // sp))
@@ -107,10 +115,11 @@ def build_stream_plan(
     for p in range(npk):
         s0, s1 = starts[p], ends[p]
         cnt = s1 - s0
-        if cnt:
+        if cnt and not resident:
             lo = (src_s[s0] // 128) * 128
         else:
             lo = 0
+        lo_p.append(lo // 128)
         pad = (-cnt) % 512  # vreg quads for the MXU reduction
         # pad cols sit at the pack's LAST real column (col 0 would blow
         # up the tail vreg's window span); pads are killed via `elive`
@@ -130,7 +139,6 @@ def build_stream_plan(
                 [np.ones(cnt, dtype=bool), np.zeros(pad, dtype=bool)]
             )
         )
-        lo_p.append(lo)
         slot_of[order[s0:s1]] = base + np.arange(cnt)
         base += cnt + pad
         voff.append(base // 128)
@@ -139,17 +147,22 @@ def build_stream_plan(
     live = np.concatenate(live_p)
     S = ecol.size
     # static slab width: max relative col + 1, rounded to 256
-    Wmax = int(ecol.max()) + 1 if S else 256
-    W = -(-Wmax // 256) * 256
-    # per-vreg 256-lane window schedule (slab-relative)
-    w = (ecol >> 8).reshape(-1, 128)
+    Wmax = int(ecol.max()) + 1 if S else 512
+    W = -(-Wmax // 512) * 512
+    # per-vreg 512-lane window schedule (slab-relative): one
+    # (32, 128) take_along_axis covers 4 source tiles x 8 comps and was
+    # measured at ~48 cycles on v5e - HALF a (16, 128) op
+    w = (ecol >> 9).reshape(-1, 128)
     wlo = w.min(axis=1).astype(np.int64)
     nwin = (w.max(axis=1) - wlo + 1).astype(np.int64)
     assert int(nwin.max()) < 1024 and int(wlo.max()) < (1 << 21)
     vwin = ((wlo << 10) | nwin).astype(np.int32)
     voff_np = np.asarray(voff, dtype=np.int64)
     vmax = int(np.diff(voff_np).max()) if npk else 0
+    if resident:
+        W = -(-src_size // 512) * 512
     return StreamPlan(
+        resident=resident,
         num_tgt=num_tgt,
         num_pack=npk,
         S=S,
@@ -204,21 +217,23 @@ HB = SP // 128
 def _stream_kernel(
     voff_ref, vwin_ref, lo_ref, idx_hbm, x_hbm, o_ref,
     xbuf, ibuf, sem_x, sem_i,
-    *, vmax, C, scale,
+    *, vmax, C, scale, resident,
 ):
     """One target pack per grid step. C source rows (<= 8); the slab
-    x_hbm[:, lo : lo + W] is DMA'd per pack (double-buffered); gathers
-    stack two 128-col tiles of the slab on sublanes so one
-    take_along_axis covers a 256-lane window of all C comps."""
+    x_hbm[:, lo : lo + W] is DMA'd per pack (double-buffered), or ONCE
+    when `resident` (small sources, e.g. nodal state). Gathers stack
+    four 128-col tiles on sublanes so one (32, 128) take_along_axis
+    covers a 512-lane window of all C comps (measured ~48 cyc on v5e,
+    half a (16, 128) op)."""
     i = pl.program_id(0)
     ni = pl.num_programs(0)
-    W = xbuf.shape[2]
+    W = xbuf.shape[-1]
 
     def slab_copy(step, slot):
-        # W here includes the 256-col slack for the unconditional second
+        # W includes the window slack for the unconditional second
         # window body (see win_stream_reduce's scratch shape)
         return pltpu.make_async_copy(
-            x_hbm.at[:, pl.ds(lo_ref[step], W)],
+            x_hbm.at[:, pl.ds(lo_ref[step] * 128, W)],
             xbuf.at[slot],
             sem_x.at[slot],
         )
@@ -232,17 +247,27 @@ def _stream_kernel(
 
     @pl.when(i == 0)
     def _():
-        slab_copy(0, 0).start()
-        idx_copy(0, 0).start()
+        if resident:
+            cp = pltpu.make_async_copy(x_hbm, xbuf, sem_x)
+            cp.start()
+            idx_copy(0, 0).start()
+            cp.wait()
+        else:
+            slab_copy(0, 0).start()
+            idx_copy(0, 0).start()
 
     @pl.when(i + 1 < ni)
     def _():
-        slab_copy(i + 1, (i + 1) % 2).start()
+        if not resident:
+            slab_copy(i + 1, (i + 1) % 2).start()
         idx_copy(i + 1, (i + 1) % 2).start()
 
-    slab_copy(i, i % 2).wait()
+    if resident:
+        xb = xbuf
+    else:
+        slab_copy(i, i % 2).wait()
+        xb = xbuf.at[i % 2]
     idx_copy(i, i % 2).wait()
-    xb = xbuf.at[i % 2]
     ib = ibuf.at[i % 2]
     base = voff_ref[i]
 
@@ -254,31 +279,30 @@ def _stream_kernel(
         epak = ib[1:2, pl.ds(off, 128)]
         erow = epak & 0x7FFF
         live = (epak >> 15) & 1
-        m16 = jnp.broadcast_to(ecol & 127, (16, 128))
-        par8 = jnp.broadcast_to((ecol >> 7) & 1, (8, 128))
-        w8 = jnp.broadcast_to(ecol >> 8, (8, 128))
+        m32 = jnp.broadcast_to(ecol & 127, (32, 128))
+        par8 = jnp.broadcast_to((ecol >> 7) & 3, (8, 128))
+        w8 = jnp.broadcast_to(ecol >> 9, (8, 128))
         sched = vwin_ref[v]
         wlo = sched >> 10
         nwin = sched & 1023
 
         def win_body(t, g):
             w = wlo + t
-            woff = pl.multiple_of(w * 256, 128)
+            woff = pl.multiple_of(w * 512, 128)
             tbl = jnp.concatenate(
-                [
-                    xb[:, pl.ds(woff, 128)],
-                    xb[:, pl.ds(woff + 128, 128)],
-                ],
+                [xb[:, pl.ds(woff + 128 * k, 128)] for k in range(4)],
                 axis=0,
-            )  # (16, 128): two 128-col tiles on sublanes
-            got = jnp.take_along_axis(tbl, m16, axis=-1)
+            )  # (32, 128): four 128-col tiles on sublanes
+            got = jnp.take_along_axis(tbl, m32, axis=-1)
             inw = w8 == w
-            g = jnp.where(inw & (par8 == 0), got[:8], g)
-            return jnp.where(inw & (par8 == 1), got[8:16], g)
+            for k in range(4):
+                g = jnp.where(
+                    inw & (par8 == k), got[8 * k : 8 * k + 8], g
+                )
+            return g
 
         g = win_body(0, jnp.zeros((8, 128), jnp.float32))
-        g = win_body(1, g)
-        g = jax.lax.fori_loop(2, nwin, win_body, g)
+        g = jax.lax.fori_loop(1, nwin, win_body, g)
         g = jnp.where(jnp.broadcast_to(live, (8, 128)) == 1, g, 0.0)
         p8h, p8l = _bf16_split(g)
         zb = jnp.zeros((8, 128), jnp.bfloat16)
@@ -336,17 +360,25 @@ def win_stream_reduce(
     C, n_src = x.shape
     assert C <= 8
     npk, vmax, W = plan.num_pack, plan.vmax, plan.W
+    resident = plan.resident
     x8 = jnp.zeros((8, n_src), jnp.float32).at[:C].set(
         x.astype(jnp.float32)
     )
-    # slab over-read: the last pack's slab may extend past the source
-    x8 = jnp.pad(x8, ((0, 0), (0, W + 256)))
+    # slab over-read: the last window's 4-tile table may extend past the
+    # source (+512); streamed slabs may start near the end (+W)
+    x8 = jnp.pad(x8, ((0, 0), (0, (W - n_src if resident else W) + 512)))
     # index over-read: the fixed-size (vmax) index DMA runs past S on
     # the last pack (same zero tail the WinELL matvec installs)
     idx_rows = jnp.pad(idx_rows, ((0, 0), (0, vmax * 128)))
 
     kern = functools.partial(
-        _stream_kernel, vmax=vmax, C=C, scale=float(scale)
+        _stream_kernel, vmax=vmax, C=C, scale=float(scale),
+        resident=resident,
+    )
+    xbuf_shape = (
+        pltpu.VMEM((8, W + 512), jnp.float32)
+        if resident
+        else pltpu.VMEM((2, 8, W + 512), jnp.float32)
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -357,9 +389,9 @@ def win_stream_reduce(
         ],
         out_specs=pl.BlockSpec((8, SP), lambda i, voff, vwin, lo: (0, i)),
         scratch_shapes=[
-            pltpu.VMEM((2, 8, W + 256), jnp.float32),
+            xbuf_shape,
             pltpu.VMEM((2, 2, vmax * 128), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(() if resident else (2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -393,7 +425,7 @@ def stream_reduce_xla(
     """Reference lowering (any backend): flat gather + segment-sum."""
     C = x.shape[0]
     src = plan.ecol.astype(np.int64) + np.repeat(
-        plan.pack_lo.astype(np.int64),
+        plan.pack_lo.astype(np.int64) * 128,
         np.diff(plan.pack_voff.astype(np.int64)) * 128,
     )
     tgt = plan.erow.astype(np.int64) + (

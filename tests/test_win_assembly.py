@@ -1,0 +1,107 @@
+"""Windowed irregular assembly (fem.win_assembly) vs the general-path
+oracle on a small Delaunay mesh. XLA backend everywhere; the Pallas
+kernels run through the interpreter in the marked tests."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from dedflow_tpu.app.scenarios import reference_scenario_config
+from dedflow_tpu.fem import ns
+from dedflow_tpu.fem.assembly import build_context
+from dedflow_tpu.fem.win_assembly import (
+    build_win_context,
+    jacobian_win,
+    residual_win,
+)
+from dedflow_tpu.mesh.gen import delaunay_mesh
+from dedflow_tpu.mesh.reorder import rcm_order, reorder_mesh
+from dedflow_tpu.sparse.topology import build_sparsity
+
+
+@pytest.fixture(scope="module")
+def setup():
+    mesh = delaunay_mesh(600, seed=5)
+    mesh = reorder_mesh(mesh, rcm_order(np.asarray(mesh.ien), mesh.num_node))
+    sp = build_sparsity(np.asarray(mesh.ien), mesh.num_node)
+    wctx = build_win_context(mesh, sp)
+    gctx = build_context(mesh, sp, dtype=jnp.float32)
+    cfg = reference_scenario_config()
+    rng = np.random.default_rng(2)
+    n = mesh.num_node
+    wa = jnp.asarray(rng.normal(size=(n, 6)).astype(np.float32))
+    dwa = jnp.asarray(rng.normal(size=(n, 6)).astype(np.float32))
+    return mesh, sp, wctx, gctx, cfg, wa, dwa
+
+
+def _oracle_residual(gctx, cfg, wa, dwa):
+    mask = jnp.zeros((gctx.num_node, 6), bool)
+    f = ns.assemble_residual(
+        gctx, (), mask, wa, dwa, cfg.physics, cfg.time,
+        freeze_phi_temperature=False,
+    )
+    return np.asarray(f).T  # (6, N)
+
+
+def test_residual_win_xla_matches_oracle(setup):
+    mesh, sp, wctx, gctx, cfg, wa, dwa = setup
+    f_win = np.asarray(
+        residual_win(wctx, wa, dwa, cfg.physics, cfg.time, backend="xla")
+    )
+    f_ref = _oracle_residual(gctx, cfg, wa, dwa)
+    np.testing.assert_allclose(f_win, f_ref, rtol=2e-4, atol=2e-3)
+
+
+def test_residual_win_interpret_matches_oracle(setup):
+    mesh, sp, wctx, gctx, cfg, wa, dwa = setup
+    f_win = np.asarray(
+        residual_win(
+            wctx, wa, dwa, cfg.physics, cfg.time, interpret=True
+        )
+    )
+    f_ref = _oracle_residual(gctx, cfg, wa, dwa)
+    np.testing.assert_allclose(f_win, f_ref, rtol=2e-3, atol=5e-3)
+
+
+def test_jacobian_win_xla_matches_oracle(setup):
+    mesh, sp, wctx, gctx, cfg, wa, dwa = setup
+    jw = jacobian_win(wctx, wa, cfg.physics, cfg.time, backend="xla")
+    dense_win = jw.to_block_dense()
+    mask = jnp.zeros((gctx.num_node, 6), bool)
+    jref = ns.assemble_jacobian(
+        gctx, (), mask, wa, dwa, cfg.physics, cfg.time,
+    )
+    dense_ref = jref.to_block_dense()
+    np.testing.assert_allclose(dense_win, dense_ref, rtol=2e-4, atol=2e-3)
+
+
+def test_jacobian_win_interpret_matches_xla(setup):
+    mesh, sp, wctx, gctx, cfg, wa, dwa = setup
+    j_xla = jacobian_win(wctx, wa, cfg.physics, cfg.time, backend="xla")
+    j_pl = jacobian_win(
+        wctx, wa, cfg.physics, cfg.time, backend="xla", interpret=True
+    )
+    # interpret=True with backend xla is a no-op; exercise the stream
+    # scatter through the interpreter via the pallas backend
+    from dedflow_tpu.fem.win_assembly import build_win_context as _b
+
+    j_int = jacobian_win(
+        wctx, wa, cfg.physics, cfg.time, backend="pallas", interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(j_int.vals[:18]),
+        np.asarray(j_xla.vals[:18]),
+        rtol=2e-3, atol=5e-3,
+    )
+
+
+def test_jacobian_win_segment_variant(setup):
+    mesh, sp, wctx, gctx, cfg, wa, dwa = setup
+    wctx2 = build_win_context(mesh, sp, jac_scatter="segment")
+    j_seg = jacobian_win(wctx2, wa, cfg.physics, cfg.time, backend="xla")
+    j_str = jacobian_win(wctx, wa, cfg.physics, cfg.time, backend="xla")
+    np.testing.assert_allclose(
+        np.asarray(j_seg.vals[:18]),
+        np.asarray(j_str.vals[:18]),
+        rtol=1e-4, atol=1e-4,
+    )

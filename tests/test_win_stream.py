@@ -13,12 +13,14 @@ from dedflow_tpu.sparse.win_stream import (
 )
 
 
-@pytest.fixture(scope="module", params=["banded", "permute"])
+@pytest.fixture(
+    scope="module", params=["banded", "permute", "banded-streamed"]
+)
 def setup(request):
     rng = np.random.default_rng(0)
     num_tgt, n_src = 5000, 20000
     n_contrib = 60000
-    if request.param == "banded":
+    if request.param.startswith("banded"):
         # banded sparsity: source near 4x target (mesh-like locality)
         tgt = rng.integers(0, num_tgt, n_contrib)
         src = np.clip(
@@ -29,7 +31,9 @@ def setup(request):
         n_contrib = n_src
         src = rng.permutation(n_src)
         tgt = np.clip(np.arange(n_src) // 4, 0, num_tgt - 1)
-    plan = build_stream_plan(tgt, src, num_tgt, n_src)
+    resident = None if request.param != "banded-streamed" else False
+    plan = build_stream_plan(tgt, src, num_tgt, n_src, resident=resident)
+    assert plan.resident == (request.param != "banded-streamed")
     x = jnp.asarray(rng.normal(size=(6, n_src)).astype(np.float32))
     return plan, x, tgt, src
 
