@@ -49,9 +49,7 @@ _STATE_PERM = np.array(
     + [a * 12 + 11 for a in range(4)]  # dT (dwa 5)
 )
 
-# residual kernel output rows a*6+c -> scatter source rows c*4+a:
-# position c*4+a takes kernel row a*6+c
-_RES_PERM = np.array([a * 6 + c for c in range(6) for a in range(4)])
+
 
 
 @jax.tree_util.register_dataclass
@@ -99,8 +97,9 @@ def build_win_context(
     lhs_geom = pk.lhs_geom_rows(geom.shgrad, geom.det_j, geom.metric)
 
     # residual scatter: contribution (e, a) -> node ien[e, a], source
-    # col a*ne + e (a row-permuted reshape of the kernel output)
-    tgt = ien.T.reshape(-1)  # (4ne,) a-major
+    # col e*4 + a (e-major keeps every pack's source slab ~4x the local
+    # element range; an a-major layout would span 3*ne extra columns)
+    tgt = ien.reshape(-1)  # (4ne,) e-major
     src = np.arange(4 * ne, dtype=np.int64)
     fsc_plan = ws.build_stream_plan(tgt, src, n, 4 * ne)
     fsc_idx = ws.stream_index_rows(fsc_plan)
@@ -115,8 +114,8 @@ def build_win_context(
     entry_tgt = win_plan.entry_of_nnz[elem_nnz]  # (ne, 16)
     jsc_idx = jsc_plan = upd_perm = upd_tgt = None
     if jac_scatter == "stream":
-        # source col ab*ne + e (row-permuted reshape of the LHS output)
-        jtgt = entry_tgt.T.reshape(-1)
+        # source col e*16 + ab (e-major; see the residual scatter note)
+        jtgt = entry_tgt.reshape(-1)
         jsrc = np.arange(16 * ne, dtype=np.int64)
         jsc_plan = ws.build_stream_plan(jtgt, jsrc, win_plan.S, 16 * ne)
         jsc_idx = ws.stream_index_rows(jsc_plan)
@@ -185,7 +184,10 @@ def residual_win(
     out24 = pk.res_rows_call(
         inp, phys, scheme, backend=backend, interpret=interpret
     )
-    fvals = out24[jnp.asarray(_RES_PERM)].reshape(6, 4 * ne)
+    # rows a*6+c -> (6, 4ne) with source col e*4+a: one transpose pass
+    fvals = (
+        out24.reshape(4, 6, ne).transpose(1, 2, 0).reshape(6, 4 * ne)
+    )
     if backend == "xla":
         return ws.stream_reduce_xla(ctx.fsc_plan, fvals)
     return ws.win_stream_reduce(
@@ -223,13 +225,14 @@ def jacobian_win(
     # rows (ab)*18 + c
     plan = ctx.win_plan
     if ctx.jac_scatter == "stream":
-        # comps ride two 8-row stream passes: map kernel rows (ab*18+c)
-        # -> (c*16+ab) for the 16 packed vel/p comps (c < 16; comps
-        # 16/17 are the static identity diagonals, installed below)
-        sel = np.array(
-            [ab * 18 + c for c in range(16) for ab in range(16)]
+        # comps ride two 8-row stream passes; source col e*16 + ab
+        # (comps 16/17 are the static identity diagonals, installed
+        # below): one transpose pass over the LHS output
+        src16 = (
+            out288.reshape(16, 18, ne)[:, :16]
+            .transpose(1, 2, 0)
+            .reshape(16, 16 * ne)
         )
-        src16 = out288[jnp.asarray(sel)].reshape(16, 16 * ne)
         if backend == "xla":
             lo = ws.stream_reduce_xla(ctx.jsc_plan, src16[:8])
             hi = ws.stream_reduce_xla(ctx.jsc_plan, src16[8:])

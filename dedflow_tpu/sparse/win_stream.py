@@ -88,6 +88,7 @@ def build_stream_plan(
     src_size: int,
     sp: int = SP,
     resident: bool | None = None,
+    jump_cut: int = 4096,
 ) -> StreamPlan:
     """Plan y[c, tgt[s]] += x[c, src[s]] over contributions s.
 
@@ -114,33 +115,66 @@ def build_stream_plan(
     base = 0
     for p in range(npk):
         s0, s1 = starts[p], ends[p]
-        cnt = s1 - s0
-        if cnt and not resident:
-            lo = (src_s[s0] // 128) * 128
+        # segment the pack at large source jumps (e.g. vertex-group
+        # boundaries in an (a*ne + e) layout): a vreg quad must never
+        # straddle a jump, or its window loop runs thousands of turns
+        seg_starts = [s0]
+        if s1 > s0 + 1:
+            jumps = (
+                np.nonzero(np.diff(src_s[s0:s1]) > jump_cut)[0] + 1 + s0
+            )
+            seg_starts += list(jumps)
+        seg_bounds = seg_starts + [s1]
+        pack_cols, pack_rows, pack_live = [], [], []
+        pack_slots = 0
+        for g0, g1 in zip(seg_bounds[:-1], seg_bounds[1:]):
+            cnt = g1 - g0
+            if cnt == 0:
+                continue
+            pad = (-cnt) % 512  # vreg quads for the MXU reduction
+            # pad cols sit at the segment's LAST real column (col 0
+            # would blow up the tail vreg's window span); pads are
+            # killed via `elive`
+            pad_col = src_s[g1 - 1]
+            pack_cols.append(
+                np.concatenate(
+                    [src_s[g0:g1], np.full(pad, pad_col, dtype=np.int64)]
+                )
+            )
+            pack_rows.append(
+                np.concatenate(
+                    [tgt_s[g0:g1] - p * sp, np.zeros(pad, dtype=np.int64)]
+                )
+            )
+            pack_live.append(
+                np.concatenate(
+                    [np.ones(cnt, dtype=bool), np.zeros(pad, dtype=bool)]
+                )
+            )
+            slot_of[order[g0:g1]] = base + pack_slots + np.arange(cnt)
+            pack_slots += cnt + pad
+        cols = (
+            np.concatenate(pack_cols)
+            if pack_cols
+            else np.zeros(0, dtype=np.int64)
+        )
+        if cols.size and not resident:
+            lo = (int(cols.min()) // 128) * 128
         else:
             lo = 0
         lo_p.append(lo // 128)
-        pad = (-cnt) % 512  # vreg quads for the MXU reduction
-        # pad cols sit at the pack's LAST real column (col 0 would blow
-        # up the tail vreg's window span); pads are killed via `elive`
-        pad_col = (src_s[s1 - 1] - lo) if cnt else 0
-        ecol_p.append(
-            np.concatenate(
-                [src_s[s0:s1] - lo, np.full(pad, pad_col, dtype=np.int64)]
-            )
-        )
+        ecol_p.append(cols - lo)
         erow_p.append(
-            np.concatenate(
-                [tgt_s[s0:s1] - p * sp, np.zeros(pad, dtype=np.int64)]
-            )
+            np.concatenate(pack_rows)
+            if pack_rows
+            else np.zeros(0, dtype=np.int64)
         )
         live_p.append(
-            np.concatenate(
-                [np.ones(cnt, dtype=bool), np.zeros(pad, dtype=bool)]
-            )
+            np.concatenate(pack_live)
+            if pack_live
+            else np.zeros(0, dtype=bool)
         )
-        slot_of[order[s0:s1]] = base + np.arange(cnt)
-        base += cnt + pad
+        base += pack_slots
         voff.append(base // 128)
     ecol = np.concatenate(ecol_p)
     erow = np.concatenate(erow_p)
