@@ -106,6 +106,10 @@ class LatticeContext:
     # node-grid shape (gx, gy, gz) = (nx+1, ny+1, nz+1): consumed by the
     # geometric-multigrid preconditioner (solver.mg)
     dims: tuple | None = field(default=None, metadata=dict(static=True))
+    # implicit phi/T transport tangents (melt-pool runs): lhs_geom rows
+    # carry the 6 packed metric components (21 logical rows, padded 24)
+    # and the LHS assembles through the rows kernel, not the fused one
+    scalar_implicit: bool = field(default=False, metadata=dict(static=True))
 
     @property
     def num_elem(self) -> int:  # live tets (for flop accounting)
@@ -141,6 +145,7 @@ def build_lattice_context(
     rows_backend: str | None = None,
     num_node_pad: int | None = None,
     shard: tuple | None = None,  # (jax.sharding.Mesh, axis_name)
+    scalar_implicit: bool = False,
 ) -> LatticeContext:
     """Build from a box mesh carrying `mesh.lattice = (nx, ny, nz)`.
 
@@ -197,7 +202,12 @@ def build_lattice_context(
         idx = cells[:, None] + np.asarray(deltas[t], dtype=np.int64)[None, :]
         idx = np.where(live[:, None], idx, 0)  # dead cells: degenerate
         geom = tet_geometry(xg[jnp.asarray(idx)])
-        lr_raw.append(pk.lhs_geom_rows(geom.shgrad, geom.det_j, geom.metric))
+        lr_raw.append(
+            pk.lhs_geom_rows(
+                geom.shgrad, geom.det_j, geom.metric,
+                with_metric=scalar_implicit,
+            )
+        )
         rr_raw.append(pk.res_geom_rows(geom.shgrad, geom.det_j, geom.metric))
     # nodal live-element multiplicity (see LatticeContext.mult)
     lc = cells[live]
@@ -209,13 +219,14 @@ def build_lattice_context(
         lr_raw, rr_raw, mult, deltas, offs, plane_tab,
         n=n, ntot=ntot, npad=npad, dmax=dmax,
         rows_backend=rows_backend, shard=shard,
-        dims=(nx + 1, ny + 1, nz + 1),
+        dims=(nx + 1, ny + 1, nz + 1), scalar_implicit=scalar_implicit,
     )
 
 
 def _pack_lattice_context(
     lr_raw, rr_raw, mult, deltas, offs, plane_tab,
     *, n, ntot, npad, dmax, rows_backend, shard, dims,
+    scalar_implicit=False,
 ) -> LatticeContext:
     """Shared packing tail of the context builders: per-slab raw geometry
     rows (column j = cell/base-node j, width ntot) -> padded slab-major
@@ -256,7 +267,7 @@ def _pack_lattice_context(
             rows8.append(padw(rr_raw[t][13 + kk]) if t < nt else zrow)
     res_geom8 = jnp.stack(rows8)
     return LatticeContext(
-        lhs_geom=tail(lhs_rows, 16),
+        lhs_geom=tail(lhs_rows, 24 if scalar_implicit else 16),
         res_geom=tail(res_rows, 24),
         num_node=ntot,
         npad=npad,
@@ -270,6 +281,7 @@ def _pack_lattice_context(
         res_geom8=res_geom8,
         mult=jnp.asarray(mult),
         dims=dims,
+        scalar_implicit=scalar_implicit,
     )
 
 
@@ -307,6 +319,7 @@ def build_class_context(
     dmax_limit: int = 16384,
     num_node_pad: int | None = None,
     shard: tuple | None = None,  # (jax.sharding.Mesh, axis_name)
+    scalar_implicit: bool = False,
 ) -> LatticeContext | None:
     """Translation-class fast path for meshes WITHOUT generator metadata:
     detect per-element offset signatures from `ien` alone and run the
@@ -363,7 +376,10 @@ def build_class_context(
         sel = np.nonzero(cls_id == t)[0]
         bt = jnp.asarray(base[sel])
         geom = tet_geometry(xg[jnp.asarray(ien_np[sel])])
-        lr = pk.lhs_geom_rows(geom.shgrad, geom.det_j, geom.metric)
+        lr = pk.lhs_geom_rows(
+            geom.shgrad, geom.det_j, geom.metric,
+            with_metric=scalar_implicit,
+        )
         rr = pk.res_geom_rows(geom.shgrad, geom.det_j, geom.metric)
         lr_raw.append(
             jnp.zeros((lr.shape[0], ntot), lr.dtype).at[:, bt].set(lr)
@@ -376,6 +392,7 @@ def build_class_context(
         lr_raw, rr_raw, mult[None, :], deltas, offs, plane_tab,
         n=n, ntot=ntot, npad=npad, dmax=dmax,
         rows_backend=rows_backend, shard=shard, dims=None,
+        scalar_implicit=scalar_implicit,
     )
 
 
@@ -439,7 +456,7 @@ def _lhs_inputs(lctx, wa_t):
             rows += [
                 _shift_rows(upad[i : i + 1], d[a], npad) for a in range(4)
             ]
-        rows.append(geom[12:15])
+        rows.append(geom[12 : 21 if lctx.scalar_implicit else 15])
         parts.append(jnp.concatenate(rows, axis=0))
     return jnp.stack(parts)
 
@@ -574,7 +591,7 @@ def assemble_jacobian_t(
     dtype = w_alpha.dtype
     num_planes = len(lctx.offsets)
     mask_t = mask.T
-    if lctx.rows_backend == "pallas":
+    if lctx.rows_backend == "pallas" and not lctx.scalar_implicit:
         # fused carry-accumulator kernel: element body computed exactly
         # once, the (6, 288, npad) HBM intermediate never exists.
         keep_pc = keep_pc_rows(mask_t, dtype)
@@ -657,7 +674,10 @@ def assemble_jacobian_t(
             shard=lctx.shard, num_node=None if n == nreal else nreal,
         )
     inp = _lhs_inputs(lctx, w_alpha.T)
-    out = pk.lhs_rows_call(inp, phys, scheme, backend=lctx.rows_backend)
+    out = pk.lhs_rows_call(
+        inp, phys, scheme, backend=lctx.rows_backend,
+        scalar_implicit=lctx.scalar_implicit,
+    )
     planes = _reduce_lhs_planes(lctx, out.astype(dtype))
 
     # Facet contributions land in a small dense (D, 18, span) block over

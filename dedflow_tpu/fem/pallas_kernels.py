@@ -96,11 +96,13 @@ def _rep_b(x):
     return jnp.broadcast_to(x[None, :, :], (4, 4, e)).reshape(16, e)
 
 
-def _lhs_kernel(inp_ref, out_ref, *, rho, mu, f1, f2, dt):
+def _lhs_kernel(inp_ref, out_ref, *, rho, mu, f1, f2, dt, cp=1.0,
+                kappa=1.0, scalar_implicit=False):
     out_ref[:, :] = _lhs_rows(inp_ref[:, :], rho=rho, mu=mu, f1=f1, f2=f2, dt=dt)
 
 
-def _lhs_rows(inp, *, rho, mu, f1, f2, dt, ncomp=18):
+def _lhs_rows(inp, *, rho, mu, f1, f2, dt, ncomp=18, cp=1.0, kappa=1.0,
+              scalar_implicit=False):
     """Pure (27, E) -> (16*ncomp, E) element-Jacobian body, shared by the
     Pallas kernel (TPU) and the plain-XLA lattice fallback (CPU / f64).
 
@@ -122,6 +124,16 @@ def _lhs_rows(inp, *, rho, mu, f1, f2, dt, ncomp=18):
     tr_safe = jnp.where(tr > 0.0, tr, 1.0)
 
     mass16 = _pair_const(lambda a, b: _MASS[a, b], f32)
+
+    if scalar_implicit:
+        # implicit phi/T transport tangents (weakform.scalar_lhs_blocks):
+        # their taus use the residual's metric form t1 = u.G.u, so the
+        # input carries the 6 packed metric rows (lhs_geom_rows
+        # with_metric=True)
+        m6 = [inp[27 + k : 28 + k, :] for k in range(6)]
+        alpha_th = kappa / (rho * cp)
+        jphi = jnp.zeros((16, det.shape[1]), f32)
+        jt = jnp.zeros((16, det.shape[1]), f32)
 
     # quadrature accumulation (unrolled; shconv[q] is (4, E))
     tmp = jnp.broadcast_to(f1 * rho * mass16, (16, det.shape[1])).astype(f32)
@@ -155,6 +167,23 @@ def _lhs_rows(inp, *, rho, mu, f1, f2, dt, ncomp=18):
         gs_shl = gs_shl + gwq * tau0 * shl_b
         tau0_sum = tau0_sum + gwq * tau0
         c_grad2 = c_grad2 + (f2 * rho * gwq) * tau1
+        if scalar_implicit:
+            t0c = 4.0 / (dt * dt)
+            t1 = (
+                m6[0] * uq[0] * uq[0] + m6[3] * uq[1] * uq[1]
+                + m6[5] * uq[2] * uq[2]
+                + 2.0 * (m6[1] * uq[0] * uq[1] + m6[2] * uq[0] * uq[2]
+                         + m6[4] * uq[1] * uq[2])
+            )
+            tau_phi = jax.lax.rsqrt(t0c + t1)
+            tau_t = jax.lax.rsqrt(t0c + t1 + 3.0 * alpha_th * alpha_th * gg) / (
+                rho * cp
+            )
+            trial16 = f1 * shl16_b + f2 * conv_b
+            jphi = jphi + gwq * (shl16_a + tau_phi * conv_a) * trial16
+            jt = jt + (rho * cp * gwq) * (
+                shl16_a + (rho * cp) * tau_t * conv_a
+            ) * trial16
 
     sh_a = [_rep_a(sh[i]) for i in range(3)]  # (16, E)
     sh_b = [_rep_b(sh[i]) for i in range(3)]
@@ -182,7 +211,10 @@ def _lhs_rows(inp, *, rho, mu, f1, f2, dt, ncomp=18):
             + (f2 * rho) * sh_a[i] * gsconv_b
         ) * det
     comps[15] = tau0_sum * e_k * det
-    if ncomp == 18:
+    if ncomp == 18 and scalar_implicit:
+        comps[16] = jphi * det
+        comps[17] = (jt + (f2 * kappa * _GWSUM) * e_k) * det
+    elif ncomp == 18:
         ident = eye16 * (det > 0.0).astype(f32)
         comps[16] = jnp.broadcast_to(ident, e_k.shape)
         comps[17] = comps[16]
@@ -405,15 +437,26 @@ def ns_residual_pallas(
     return out[:, :ne].reshape(4, 6, ne).transpose(2, 0, 1)
 
 
-def lhs_geom_rows(shgrad, det_j, metric) -> jnp.ndarray:
+def lhs_geom_rows(shgrad, det_j, metric, with_metric=False) -> jnp.ndarray:
     """(15, ne) static geometry rows for the LHS kernel: 12 transposed
     shape gradients (row i*4+a), det_j, gg, tr. Precompute once per mesh
-    (fem.assembly stores it as ctx.lhs_geom)."""
+    (fem.assembly stores it as ctx.lhs_geom). with_metric appends the 6
+    packed metric components (21 rows) for the implicit-scalar tangents
+    (their taus use the residual's metric form, weakform.stab_tau)."""
     ne = shgrad.shape[0]
     sh_t = shgrad.transpose(2, 1, 0).reshape(12, ne)
     gg = jnp.sum(metric * metric, axis=(1, 2))[None, :]
     tr = jnp.trace(metric, axis1=1, axis2=2)[None, :]
-    return jnp.concatenate([sh_t, det_j[None, :], gg, tr])
+    rows = [sh_t, det_j[None, :], gg, tr]
+    if with_metric:
+        m = metric
+        rows.append(
+            jnp.stack(
+                [m[:, 0, 0], m[:, 0, 1], m[:, 0, 2], m[:, 1, 1],
+                 m[:, 1, 2], m[:, 2, 2]]
+            )
+        )
+    return jnp.concatenate(rows)
 
 
 def ns_lhs_packed_pallas(
@@ -528,19 +571,25 @@ def _pallas_rows_call(kern, inp, out_rows: int, interpret: bool = False):
 
 
 def lhs_rows_call(
-    inp: jnp.ndarray,  # (27, M) or (S, 27, M)
+    inp: jnp.ndarray,  # (27|33, M) or (S, 27|33, M)
     phys: Physics,
     scheme: TimeScheme,
     backend: str = "pallas",
     interpret: bool = False,
+    scalar_implicit: bool = False,
 ) -> jnp.ndarray:
-    """(27, M) packed element-Jacobian inputs -> (288, M) packed outputs."""
+    """(27, M) packed element-Jacobian inputs -> (288, M) packed outputs.
+    scalar_implicit consumes 33 rows (+6 metric) and emits the implicit
+    phi/T transport tangents in comps 16/17 (melt-pool runs)."""
     args = dict(
         rho=float(phys.rho),
         mu=float(phys.mu),
         f1=float(scheme.fact_dw),
         f2=float(scheme.fact_w),
         dt=float(scheme.dt),
+        cp=float(phys.cp),
+        kappa=float(phys.kappa),
+        scalar_implicit=scalar_implicit,
     )
     if backend == "xla":
         body = functools.partial(_lhs_rows, **args)

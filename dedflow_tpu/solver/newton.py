@@ -88,6 +88,7 @@ def assemble_system(
     wa, dwa = ns.alpha_states(wgold, dwgold, dwg, scheme)
     if isinstance(ctx, LatticeContext):
         jmat = assemble_jacobian_t(ctx, face_ctxs, mask, wa, dwa, phys, scheme)
+        assert ctx.scalar_implicit == scalar_implicit or not scalar_implicit
         if pc_type == "mg" and ctx.shard is not None:
             import warnings
 
@@ -419,17 +420,17 @@ class NSSolver:
         # The general FEMContext stays authoritative for face tables, I/O
         # and coupling.
         mode = getattr(cfg, "use_lattice", "auto")
-        can_fast = (
-            mode != "gather"
-            and cfg.assembly_chunk is None
-            and not cfg.implicit_scalars
-        )
+        can_fast = mode != "gather" and cfg.assembly_chunk is None
         self.lctx = None
         if can_fast:
+            # implicit phi/T tangents (melt-pool, BASELINE config #3)
+            # assemble through the rows kernel with metric-carrying
+            # geometry; the residual fast path is unchanged
             if mesh.lattice is not None and mode != "off":
                 lctx = build_lattice_context(
                     mesh, dtype=dtype,
                     rows_backend=getattr(cfg, "lattice_backend", None),
+                    scalar_implicit=cfg.implicit_scalars,
                 )
             else:
                 from dedflow_tpu.fem.lattice import build_class_context
@@ -437,6 +438,7 @@ class NSSolver:
                 lctx = build_class_context(
                     mesh, dtype=dtype,
                     rows_backend=getattr(cfg, "lattice_backend", None),
+                    scalar_implicit=cfg.implicit_scalars,
                 )
             # face scatter plans are expressed in the FEMContext's DIA
             # plane order; require agreement (tiny boxes may not realize

@@ -48,7 +48,7 @@ SP = 2048  # targets per pack (matches winell.SP for the matrix scatter)
 INTERPRET = False
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, eq=False)
 class StreamPlan:
     """Host-side plan for one permute-reduce (pure NumPy).
 

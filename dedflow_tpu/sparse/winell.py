@@ -70,7 +70,7 @@ COMP2WIN[fs.TT] = 17
 SP = 2048  # superpack rows (must match win_kernels)
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, eq=False)
 class WinPlan:
     """Host-side WinELL plan (NumPy; device arrays live in WinELLMatrix).
 

@@ -94,3 +94,56 @@ def test_laser_run_heats_locally():
     vol = 1.0 / mesh.num_node  # unit box, roughly uniform nodes
     energy = (phys.rho * phys.cp * temp * vol).sum()
     assert 0 < energy < laser.power * 3 * cfg.time.dt * 10
+
+def test_melt_pool_lattice_fast_path_matches_general():
+    """implicit_scalars no longer disables the lattice fast path
+    (VERDICT r3 item 3): the lattice Jacobian with the implicit phi/T
+    transport tangents equals the general path's, and a melt-pool Newton
+    step on the fast path matches the gather path."""
+    import dataclasses
+
+    from dedflow_tpu.fem.lattice import LatticeContext
+
+    mesh = box_mesh(5, 4, 4)
+    cfg = melt_pool_scenario_config()
+    cfg = dataclasses.replace(cfg, bcs=cfg.bcs)
+    fast = NSSolver(mesh, cfg)
+    assert isinstance(fast.solve_ctx, LatticeContext)
+    assert fast.solve_ctx.scalar_implicit
+    slow = NSSolver(
+        mesh, dataclasses.replace(cfg, use_lattice="gather")
+    )
+    assert slow.lctx is None
+
+    wg, dwgold, dwg = melt_pool_initial_state(mesh)
+    src = jnp.asarray(laser_source(cfg.physics.laser, mesh.xg, t=0.01))
+
+    # Jacobian equivalence (dense compare, small box)
+    from dedflow_tpu.fem import ns as _ns
+    from dedflow_tpu.fem.lattice import assemble_jacobian_t
+
+    wa, dwa = _ns.alpha_states(
+        jnp.asarray(wg), jnp.asarray(dwgold), jnp.asarray(dwg), cfg.time
+    )
+    jf = assemble_jacobian_t(
+        fast.solve_ctx, fast.face_ctxs, fast.mask, wa, dwa,
+        cfg.physics, cfg.time,
+    )
+    js = _ns.assemble_jacobian(
+        slow.ctx, slow.face_ctxs, slow.mask, wa, dwa, cfg.physics,
+        cfg.time, scalar_implicit=True,
+    )
+    np.testing.assert_allclose(
+        jf.to_block_dense(), js.to_block_dense(), rtol=1e-8, atol=1e-9
+    )
+
+    # one full step tracks the general path
+    wf, dwf, df, stf = fast.step(
+        jnp.asarray(wg), jnp.asarray(dwgold), jnp.asarray(dwg), source=src
+    )
+    wslow, dwslow, dslow, sts = slow.step(
+        jnp.asarray(wg), jnp.asarray(dwgold), jnp.asarray(dwg), source=src
+    )
+    np.testing.assert_allclose(
+        np.asarray(wf), np.asarray(wslow), rtol=1e-6, atol=1e-8
+    )
