@@ -191,11 +191,17 @@ class SolverConfig:
     # fully general gather path (the oracle); "on": require a fast path.
     # Measured ~10-25x assembly+SpMV speedup on TPU (static shifted
     # slices vs gathers). Whole-mesh frozen-scalar runs only.
+    # "winell": force the windowed irregular path (fem.win_assembly) -
+    # for RCM-reordered Delaunay-class meshes; "auto" also reaches it
+    # when class detection fails and the mesh order is locality-good.
     use_lattice: str = "auto"
     # Lattice element-kernel backend override: None = auto (fused Pallas
     # on TPU, XLA elsewhere); "xla" forces the dtype-generic XLA pipeline
     # (debugging / conservative compile environments).
     lattice_backend: str | None = None
+    # WinELL Jacobian scatter variant: "pull" (degree-tiered per-entry
+    # row gathers) or "segment"/"stream" (diagnostics)
+    win_jac_scatter: str = "pull"
 
 
 def reference_bcs() -> tuple[BCSpec, ...]:
@@ -266,5 +272,6 @@ def load_config(path: str) -> SolverConfig:
         elements_kernel=d.get("elements_kernel", "xla"),
         pin_pressure=d.get("pin_pressure", False),
         use_lattice=d.get("use_lattice", "auto"),
+        win_jac_scatter=d.get("win_jac_scatter", "pull"),
         lattice_backend=d.get("lattice_backend"),
     )

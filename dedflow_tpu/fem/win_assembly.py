@@ -61,8 +61,8 @@ class WinAssemblyContext:
     res_geom: jnp.ndarray  # (19, ne) pk.res_geom_rows
     lhs_geom: jnp.ndarray  # (15, ne) pk.lhs_geom_rows
     ien: jnp.ndarray  # (ne, 4) int32
-    # residual scatter (targets = nodes, sources = slots a*ne+e)
-    fsc_idx: jnp.ndarray  # (2, S) stream_index_rows
+    # residual scatter (4 per-vertex passes)
+    fsc_idx: tuple  # 4x (2, S) stream_index_rows
     # jacobian scatter (targets = WinELL entry slots)
     jsc_idx: jnp.ndarray | None  # (2, SJ) or None (xla scatter)
     upd_perm: jnp.ndarray | None  # (ne*16,) int32 sorted-by-entry order
@@ -77,6 +77,8 @@ class WinAssemblyContext:
     jsc_plan: object = dataclass_field(default=None, metadata=dict(static=True))
     win_plan: object = dataclass_field(default=None, metadata=dict(static=True))
     jac_scatter: str = dataclass_field(default="stream", metadata=dict(static=True))
+    # "pallas" on TPU, "xla" elsewhere (CPU tests / f64 oracle)
+    backend: str = dataclass_field(default="pallas", metadata=dict(static=True))
 
     @property
     def dia_offsets(self):  # parity with LatticeContext for callers
@@ -84,13 +86,16 @@ class WinAssemblyContext:
 
 
 def build_win_context(
-    mesh, sparsity, dtype=jnp.float32, jac_scatter: str = "stream"
+    mesh, sparsity, dtype=jnp.float32, jac_scatter: str = "pull",
+    backend: str | None = None,
 ) -> WinAssemblyContext:
     """mesh must be RCM-reordered with elements sorted by min node
     (mesh.reorder.reorder_mesh) - locality is what bounds the stream
     windows. `sparsity` = sparse.topology.build_sparsity(ien, n)."""
     from dedflow_tpu.fem.assembly import tet_geometry
 
+    if backend is None:
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     ien = np.asarray(mesh.ien, dtype=np.int64)
     ne, n = ien.shape[0], mesh.num_node
     xg = jnp.asarray(mesh.xg, dtype=jnp.float32)
@@ -98,13 +103,16 @@ def build_win_context(
     res_geom = pk.res_geom_rows(geom.shgrad, geom.det_j, geom.metric)
     lhs_geom = pk.lhs_geom_rows(geom.shgrad, geom.det_j, geom.metric)
 
-    # residual scatter: contribution (e, a) -> node ien[e, a], source
-    # col e*4 + a (e-major keeps every pack's source slab ~4x the local
-    # element range; an a-major layout would span 3*ne extra columns)
-    tgt = ien.reshape(-1)  # (4ne,) e-major
-    src = np.arange(4 * ne, dtype=np.int64)
-    fsc_plan = ws.build_stream_plan(tgt, src, n, 4 * ne)
-    fsc_idx = ws.stream_index_rows(fsc_plan)
+    # residual scatter: FOUR per-vertex passes (pass a: contribution
+    # e -> node ien[e, a], source col e). The kernel's source rows are
+    # then direct slices of the element-kernel output - a combined
+    # (4, 6, ne) -> (6, ne, 4) relayout puts 4 in the minor dim, which
+    # XLA moves at ~24 ms/113 MB (measured); the slices are free.
+    src = np.arange(ne, dtype=np.int64)
+    fsc_plan = tuple(
+        ws.build_stream_plan(ien[:, a], src, n, ne) for a in range(4)
+    )
+    fsc_idx = tuple(ws.stream_index_rows(pl) for pl in fsc_plan)
 
     # WinELL matrix plan on the nodal sparsity
     win_plan = we.build_winell_plan(
@@ -182,6 +190,7 @@ def build_win_context(
         win_plan=win_plan,
         jac_scatter=jac_scatter,
         pull_tiers=pull_tiers,
+        backend=backend,
     )
 
 
@@ -195,10 +204,12 @@ def residual_win(
     phys,
     scheme,
     source=None,
-    backend: str = "pallas",
+    backend: str | None = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """(6, N) component-major residual (volume terms)."""
+    if backend is None:
+        backend = ctx.backend
     from dedflow_tpu.utils.xla import take_rows
 
     f32 = jnp.float32
@@ -221,15 +232,17 @@ def residual_win(
     out24 = pk.res_rows_call(
         inp, phys, scheme, backend=backend, interpret=interpret
     )
-    # rows a*6+c -> (6, 4ne) with source col e*4+a: one transpose pass
-    fvals = (
-        out24.reshape(4, 6, ne).transpose(1, 2, 0).reshape(6, 4 * ne)
-    )
-    if backend == "xla":
-        return ws.stream_reduce_xla(ctx.fsc_plan, fvals)
-    return ws.win_stream_reduce(
-        ctx.fsc_plan, ctx.fsc_idx, fvals, interpret=interpret
-    )
+    y = None
+    for a in range(4):
+        fv = out24[a * 6 : (a + 1) * 6]
+        if backend == "xla":
+            ya = ws.stream_reduce_xla(ctx.fsc_plan[a], fv)
+        else:
+            ya = ws.win_stream_reduce(
+                ctx.fsc_plan[a], ctx.fsc_idx[a], fv, interpret=interpret
+            )
+        y = ya if y is None else y + ya
+    return y
 
 
 def jacobian_win(
@@ -237,10 +250,12 @@ def jacobian_win(
     w_alpha: jnp.ndarray,  # (N, 6)
     phys,
     scheme,
-    backend: str = "pallas",
+    backend: str | None = None,
     interpret: bool = False,
 ) -> we.WinELLMatrix:
     """WinELL field-split Jacobian (frozen-scalar mode)."""
+    if backend is None:
+        backend = ctx.backend
     from dedflow_tpu.utils.xla import take_rows
 
     f32 = jnp.float32

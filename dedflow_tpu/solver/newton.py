@@ -43,6 +43,7 @@ from dedflow_tpu.fem.lattice import (
     build_lattice_context,
     field_norms_t,
 )
+from dedflow_tpu.fem.win_assembly import WinAssemblyContext
 from dedflow_tpu.mesh.mesh import Mesh
 from dedflow_tpu.solver.krylov import gmres
 from dedflow_tpu.solver.pc import NSFieldSplitPC, NSFieldSplitPCT
@@ -67,6 +68,17 @@ def residual(
             ctx, face_ctxs, mask, wa, dwa, phys, scheme, freeze, source,
             nodal_force,
         )
+    if isinstance(ctx, WinAssemblyContext):
+        # windowed irregular fast path (Delaunay-class meshes); weak
+        # (face) BCs are gated off at NSSolver construction
+        from dedflow_tpu.fem.win_assembly import residual_win
+
+        f = residual_win(ctx, wa, dwa, phys, scheme, source)
+        if nodal_force is not None:
+            f = f.at[:3].add(-nodal_force.T)
+        if freeze:
+            f = f.at[4:].set(0.0)  # main.c:64
+        return f * (1.0 - mask.T.astype(f.dtype))
     return ns.assemble_residual(
         ctx, face_ctxs, mask, wa, dwa, phys, scheme, freeze, chunk, source,
         nodal_force, scatter_method, elements_kernel,
@@ -86,6 +98,20 @@ def assemble_system(
     (solver.mg.MGSIMPLEPCT - the reference's AMG-class option,
     pc.c:160-235)."""
     wa, dwa = ns.alpha_states(wgold, dwgold, dwg, scheme)
+    if isinstance(ctx, WinAssemblyContext):
+        from dedflow_tpu.fem.win_assembly import jacobian_win
+
+        jmat = jacobian_win(ctx, wa, phys, scheme).zero_rows_t(mask.T)
+        if pc_type != "fieldsplit":
+            import warnings
+
+            warnings.warn(
+                f"krylov.pc={pc_type!r} is not yet available on the "
+                "windowed irregular path; using the fieldsplit "
+                "(block-Jacobi) preconditioner",
+                stacklevel=2,
+            )
+        return jmat, NSFieldSplitPCT.from_diag_rows(jmat.diag_rows())
     if isinstance(ctx, LatticeContext):
         jmat = assemble_jacobian_t(ctx, face_ctxs, mask, wa, dwa, phys, scheme)
         assert ctx.scalar_implicit == scalar_implicit or not scalar_implicit
@@ -251,7 +277,7 @@ def solve_update(
     elements_kernel="xla",
 ):
     """GMRES(J) dx = F; dwg -= dx; reassemble F (main.c:211-265)."""
-    lat = isinstance(ctx, LatticeContext)
+    lat = isinstance(ctx, (LatticeContext, WinAssemblyContext))
     dx, iters, _lin_rel = _solve_linear(jmat, pc, f, kcfg, lat)
     dwg = dwg - (dx.T if lat else dx)  # main.c:226
     f = residual(
@@ -450,7 +476,48 @@ class NSSolver:
                     "use_lattice='on' but the mesh sparsity does not match "
                     "the lattice/class stencil"
                 )
-        self.solve_ctx = self.lctx if self.lctx is not None else self.ctx
+        self.wctx = None
+        if (
+            self.lctx is None
+            and mode in ("auto", "winell")
+            and not self.face_ctxs
+            and not cfg.implicit_scalars
+            and cfg.assembly_chunk is None
+            and mesh.num_tet > 0
+        ):
+            # windowed irregular fast path (Delaunay-class meshes,
+            # fem.win_assembly). Needs a locality-preserving node order
+            # (RCM + elements sorted by min node, mesh.reorder); on
+            # "auto" the plan's measured gather-window statistics gate
+            # the path so an unordered mesh falls back to the general
+            # gather path instead of running the kernels badly.
+            from dedflow_tpu.fem.win_assembly import build_win_context
+
+            try:
+                wctx = build_win_context(
+                    mesh, self.sparsity,
+                    jac_scatter=getattr(cfg, "win_jac_scatter", "pull"),
+                )
+                stats_ok = (
+                    float(
+                        np.mean(
+                            np.concatenate(
+                                [pl.vwin & 1023 for pl in wctx.fsc_plan]
+                            )
+                        )
+                    )
+                    < 8.0
+                )
+                if mode == "winell" or stats_ok:
+                    self.wctx = wctx
+            except Exception:  # noqa: BLE001 - planning is best-effort
+                if mode == "winell":
+                    raise
+        self.solve_ctx = (
+            self.lctx
+            if self.lctx is not None
+            else self.wctx if self.wctx is not None else self.ctx
+        )
 
         if self.lctx is not None and self.face_ctxs:
             # Precompute the state-independent facet Jacobian bands once:
@@ -495,7 +562,9 @@ class NSSolver:
             )
         )
         self._norms = jax.jit(
-            field_norms_t if self.lctx is not None else ns.field_norms
+            field_norms_t
+            if (self.lctx is not None or self.wctx is not None)
+            else ns.field_norms
         )
         self._newton_iter = jax.jit(partial(newton_iter, **static))
         self._assemble_system = jax.jit(
