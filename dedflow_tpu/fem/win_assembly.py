@@ -79,6 +79,10 @@ class WinAssemblyContext:
     jac_scatter: str = dataclass_field(default="stream", metadata=dict(static=True))
     # "pallas" on TPU, "xla" elsewhere (CPU tests / f64 oracle)
     backend: str = dataclass_field(default="pallas", metadata=dict(static=True))
+    # algebraic-multigrid plan for pc='mg' (solver.amg.AMGIndices, pytree)
+    # + the WinELL entry slot of each CSR entry (level-0 value gather)
+    amg_idx: object | None = None
+    amg_eon: jnp.ndarray | None = None
 
     @property
     def dia_offsets(self):  # parity with LatticeContext for callers
@@ -87,7 +91,8 @@ class WinAssemblyContext:
 
 def build_win_context(
     mesh, sparsity, dtype=jnp.float32, jac_scatter: str = "pull",
-    backend: str | None = None,
+    backend: str | None = None, with_amg: bool = False,
+    amg_min_nodes: int = 2048,
 ) -> WinAssemblyContext:
     """mesh must be RCM-reordered with elements sorted by min node
     (mesh.reorder.reorder_mesh) - locality is what bounds the stream
@@ -174,6 +179,19 @@ def build_win_context(
     mult = np.bincount(ien.ravel(), minlength=n).astype(np.float32)
     mw = np.zeros((2, win_plan.S), np.float32)
     mw[:, win_plan.diag_entry] = mult[None, :]
+
+    # algebraic-multigrid index hierarchy for pc='mg' (solver.amg):
+    # pattern-only, built once per mesh
+    amg_idx = amg_eon = None
+    if with_amg:
+        from dedflow_tpu.solver.amg import AMGIndices, build_amg_plan
+
+        rp = np.asarray(sparsity.row_ptr, dtype=np.int64)
+        rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(rp))
+        amg_idx = AMGIndices.from_plan(
+            build_amg_plan(rows, sparsity.col_ind, n, min_nodes=amg_min_nodes)
+        )
+        amg_eon = jnp.asarray(win_plan.entry_of_nnz.astype(np.int32))
     return WinAssemblyContext(
         res_geom=res_geom.astype(jnp.float32),
         lhs_geom=lhs_geom.astype(jnp.float32),
@@ -191,6 +209,8 @@ def build_win_context(
         jac_scatter=jac_scatter,
         pull_tiers=pull_tiers,
         backend=backend,
+        amg_idx=amg_idx,
+        amg_eon=amg_eon,
     )
 
 
@@ -297,21 +317,22 @@ def jacobian_win(
             )
         ent16 = jnp.concatenate([lo, hi], axis=0)  # (16, S_w)
     elif ctx.jac_scatter == "pull":
-        from dedflow_tpu.utils.xla import take_rows
-
-        # flat (ne*16 + 1, 16) update rows, zero fill row appended
-        flat = (
+        # comp-major update table (16c, ne*16 + 1): the flat (e, ab) id
+        # is the MINOR dim, so the TPU tiled layout pads nothing. (The
+        # row-major (ne*16, 16) variant tile-pads its 16-wide minor dim
+        # to 128 lanes - 8x the bytes, ~9.7 GB at 1.18M tets: measured
+        # RESOURCE_EXHAUSTED.) Last column is the zero fill target.
+        upd = (
             out288.reshape(16, 18, ne)[:, :16]
-            .transpose(2, 0, 1)
-            .reshape(ne * 16, 16)
+            .transpose(1, 2, 0)
+            .reshape(16, 16 * ne)
         )
-        flat = jnp.concatenate(
-            [flat, jnp.zeros((1, 16), flat.dtype)]
-        )
+        upd = jnp.pad(upd, ((0, 0), (0, 1)))
         ent16 = jnp.zeros((16, plan.S), jnp.float32)
         for eidx, slots in ctx.pull_tiers:
-            got = take_rows(flat, eidx)  # (nt, pad, 16)
-            ent16 = ent16.at[:, slots].set(jnp.sum(got, axis=1).T)
+            nt, pad = eidx.shape
+            got = upd[:, eidx.reshape(-1)].reshape(16, nt, pad)
+            ent16 = ent16.at[:, slots].set(got.sum(axis=2))
     else:
         # sorted segment-sum oracle (indices precomputed)
         upd = out288.reshape(16, 18, ne)[:, :16]  # (16ab, 16c, ne)

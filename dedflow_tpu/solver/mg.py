@@ -119,11 +119,27 @@ class ScalarDIALevel:
     offsets: tuple = dataclass_field(metadata=dict(static=True))  # linear
     dims: tuple = dataclass_field(metadata=dict(static=True))  # (gx, gy, gz)
 
-    def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
-        """(N,) -> (N,): K static shifted slices (gather-free)."""
+    def matvec(
+        self, x: jnp.ndarray, axis: str | None = None, nshards: int = 1
+    ) -> jnp.ndarray:
+        """(N,) -> (N,): K static shifted slices (gather-free).
+
+        axis/nshards: inside shard_map over z-slabs, exchange the stencil
+        reach (max |offset| rows) with the z-neighbors via ppermute so the
+        local matvec equals the global one on local rows. Edge shards
+        receive ppermute's implicit zeros - exact, because beyond-domain
+        stencil entries are zero by the dead-cell construction."""
         n = self.planes.shape[1]
         m = max(max(abs(o) for o in self.offsets), 1)
-        xpad = jnp.pad(x, (m, m))
+        if axis is None:
+            xpad = jnp.pad(x, (m, m))
+        else:
+            assert m <= n, "halo reach exceeds the local slab"
+            up = [(i, i + 1) for i in range(nshards - 1)]
+            dn = [(i + 1, i) for i in range(nshards - 1)]
+            lo = jax.lax.ppermute(x[n - m :], axis, up)
+            hi = jax.lax.ppermute(x[:m], axis, dn)
+            xpad = jnp.concatenate([lo, x, hi])
         y = 0.0
         for k, o in enumerate(self.offsets):
             y = y + self.planes[k] * jax.lax.slice_in_dim(
@@ -184,12 +200,16 @@ def build_hierarchy(
     diag_override: jnp.ndarray | None = None,
     min_nodes: int = 1024,
     max_levels: int = 8,
+    shard_z: bool = False,
 ) -> tuple[ScalarDIALevel, ...]:
     """Build the level tuple from the fine (K, N) stencil.
 
     `diag_override` replaces the 0-offset plane (e.g. the exact Schur
     diagonal). Coarsening stops when a level has < min_nodes rows or the
-    grid can no longer halve."""
+    grid can no longer halve. shard_z: the hierarchy is one z-slab of a
+    sharded grid - stop while local gz stays even (slab cuts must align
+    with whole 2x2x2 aggregates) and >= 4 (the coarse level's halo reach
+    must fit its neighbor slab)."""
     d0 = offsets.index(0)
     if diag_override is not None:
         planes = planes.at[d0].set(diag_override)
@@ -205,6 +225,8 @@ def build_hierarchy(
         lv = levels[-1]
         n = lv.planes.shape[1]
         if n < min_nodes or max(lv.dims) < 3:
+            break
+        if shard_z and (lv.dims[2] % 2 != 0 or lv.dims[2] < 4):
             break
         levels.append(_galerkin_coarsen(lv))
     return tuple(levels)
@@ -238,22 +260,31 @@ def vcycle(
     li: int = 0,
     omega: float = 0.85,
     coarse_sweeps: int = 12,
+    axis: str | None = None,
+    nshards: int = 1,
 ) -> jnp.ndarray:
-    """One V(1,1) cycle for A x = r at level li, x0 = 0. Static recursion."""
+    """One V(1,1) cycle for A x = r at level li, x0 = 0. Static recursion.
+
+    axis/nshards: distributed cycle over z-slabs (inside shard_map) -
+    every matvec exchanges its stencil halo (ScalarDIALevel.matvec);
+    restriction/prolongation are slab-local because the slab cuts align
+    with whole 2x2x2 aggregates (the sharded builder keeps local gz even
+    at every coarsening), so the distributed cycle is ARITHMETICALLY
+    IDENTICAL to the single-chip one."""
     lv = levels[li]
     if li == len(levels) - 1:
         x = omega * lv.inv_diag * r
         for _ in range(coarse_sweeps - 1):
-            x = x + omega * lv.inv_diag * (r - lv.matvec(x))
+            x = x + omega * lv.inv_diag * (r - lv.matvec(x, axis, nshards))
         return x
     # pre-smooth (one damped-Jacobi sweep from zero)
     x = omega * lv.inv_diag * r
     # coarse-grid correction
-    rc = _restrict(r - lv.matvec(x), lv.dims)
-    xc = vcycle(levels, rc, li + 1, omega, coarse_sweeps)
+    rc = _restrict(r - lv.matvec(x, axis, nshards), lv.dims)
+    xc = vcycle(levels, rc, li + 1, omega, coarse_sweeps, axis, nshards)
     x = x + _prolong(xc, lv.dims)
     # post-smooth
-    x = x + omega * lv.inv_diag * (r - lv.matvec(x))
+    x = x + omega * lv.inv_diag * (r - lv.matvec(x, axis, nshards))
     return x
 
 
@@ -278,16 +309,36 @@ class MGSIMPLEPCT:
     inv_t_diag: jnp.ndarray  # (N,)
     outer: int = dataclass_field(default=2, metadata=dict(static=True))
     omega: float = dataclass_field(default=0.85, metadata=dict(static=True))
+    # multi-chip: (jax.sharding.Mesh, axis_name). The V-cycle is a TRUE
+    # distributed multigrid over z-slabs: each chip owns a
+    # (gx, gy, gz/nparts) subgrid, its hierarchy is built from its local
+    # plane rows (exact - RAP sums run over rows, which are local), and
+    # every level's matvec exchanges its stencil halo with the
+    # z-neighbors via ppermute. Slab cuts align with whole 2x2x2
+    # aggregates (build_hierarchy shard_z), so the distributed cycle is
+    # arithmetically identical to the single-chip one down to the level
+    # where coarsening stops (earlier than single-chip: local gz must
+    # stay even and >= 4).
+    shard: tuple | None = dataclass_field(default=None, metadata=dict(static=True))
+    ldims: tuple | None = dataclass_field(default=None, metadata=dict(static=True))
 
     @staticmethod
     def from_matrix(
         mat, dims: tuple | None, outer: int = 2, omega: float = 0.85,
-        min_nodes: int = 1024,
+        min_nodes: int = 1024, shard: tuple | None = None,
     ) -> "MGSIMPLEPCT":
         """dims = (gx, gy, gz) node-grid shape; mat = FSDIAMatrixT.
         dims=None infers the grid from the DIA offsets (`infer_dims`) -
         the translation-class tier carries no geometry but its stencil
-        still encodes the strides; raises ValueError if inference fails."""
+        still encodes the strides; raises ValueError if inference fails.
+
+        shard = (device_mesh, axis): shard-local hierarchy + V-cycle
+        (see the `shard` field). Requires the per-shard slab to be a
+        whole number of z-planes (padded rows count: the sharded lattice
+        pads num_node to nparts * lane blocks; extra rows carry zero
+        planes, which coarsen to zero and smooth as unit diagonals)."""
+        import numpy as _np
+
         from dedflow_tpu.solver.pc import NSFieldSplitPCT
 
         base = NSFieldSplitPCT.from_diag_rows(mat.diag_rows())
@@ -299,9 +350,23 @@ class MGSIMPLEPCT:
                     "MGSIMPLEPCT: node grid could not be inferred from "
                     f"the DIA offsets {mat.offsets} at {n} rows"
                 )
-        assert n == dims[0] * dims[1] * dims[2], (
-            f"grid {dims} does not match {n} pressure rows"
-        )
+        ldims = None
+        if shard is not None:
+            dev_mesh, axis = shard
+            nparts = int(_np.prod(dev_mesh.devices.shape))
+            ntot = mat.data.shape[-1]  # padded width (nparts multiple)
+            L = ntot // nparts
+            sz = dims[0] * dims[1]
+            if L % sz != 0:
+                raise ValueError(
+                    f"sharded MG needs z-plane-aligned slabs: local rows "
+                    f"{L} not a multiple of the plane size {sz}"
+                )
+            ldims = (dims[0], dims[1], L // sz)
+        else:
+            assert n == dims[0] * dims[1] * dims[2], (
+                f"grid {dims} does not match {n} pressure rows"
+            )
         # Compact Schur bands, extracted once (slicing the full matrix
         # per apply forces a ~170 MB relayout copy each application -
         # measured 11.5 vs 2.5 ms/apply at 1M tets).
@@ -312,9 +377,43 @@ class MGSIMPLEPCT:
         # the override makes each level's smoother inconsistent with its
         # own off-diagonals. S_hat enters only through the outer
         # Richardson residual in _schur_solve.
-        levels = build_hierarchy(
-            bands.app, mat.offsets, dims, min_nodes=min_nodes
-        )
+        if shard is None:
+            levels = build_hierarchy(
+                bands.app, mat.offsets, dims, min_nodes=min_nodes
+            )
+        else:
+            from jax.sharding import PartitionSpec as _P
+
+            dev_mesh, axis = shard
+
+            lmin = max(128, min_nodes // nparts)
+
+            def local_build(app_l):
+                return build_hierarchy(
+                    app_l, mat.offsets, ldims, min_nodes=lmin, shard_z=True
+                )
+
+            # level spec: planes/inv_diag sharded on their row axis
+            probe = jax.eval_shape(
+                local_build,
+                jax.ShapeDtypeStruct(
+                    (bands.app.shape[0], ldims[0] * ldims[1] * ldims[2]),
+                    bands.app.dtype,
+                ),
+            )
+            out_specs = tuple(
+                ScalarDIALevel(
+                    planes=_P(None, axis), inv_diag=_P(axis),
+                    offsets=lv.offsets, dims=lv.dims,
+                )
+                for lv in probe
+            )
+            levels = jax.shard_map(
+                local_build,
+                mesh=dev_mesh,
+                in_specs=(_P(None, axis),),
+                out_specs=out_specs,
+            )(bands.app)
         return MGSIMPLEPCT(
             bands=bands,
             levels=levels,
@@ -323,6 +422,8 @@ class MGSIMPLEPCT:
             inv_t_diag=base.inv_t_diag,
             outer=outer,
             omega=omega,
+            shard=shard,
+            ldims=ldims,
         )
 
     def _duinv(self, xu: jnp.ndarray) -> jnp.ndarray:
@@ -338,12 +439,37 @@ class MGSIMPLEPCT:
         m = self.bands
         return m.matvec_pp(p) - m.matvec_pu(self._duinv(m.matvec_up(p)))
 
-    def _schur_solve(self, rp: jnp.ndarray) -> jnp.ndarray:
-        dp = vcycle(self.levels, rp, omega=self.omega)
-        for _ in range(self.outer - 1):
-            dp = dp + vcycle(
-                self.levels, rp - self._schur_apply(dp), omega=self.omega
+    def _vcycle(self, r: jnp.ndarray) -> jnp.ndarray:
+        if self.shard is None:
+            return vcycle(self.levels, r, omega=self.omega)
+        from jax.sharding import PartitionSpec as _P
+
+        dev_mesh, axis = self.shard
+        omega = self.omega
+        levels = self.levels
+        nsh = int(np.prod(dev_mesh.devices.shape))
+
+        def local(r_l, levels_l):
+            return vcycle(levels_l, r_l, omega=omega, axis=axis, nshards=nsh)
+
+        lv_specs = tuple(
+            ScalarDIALevel(
+                planes=_P(None, axis), inv_diag=_P(axis),
+                offsets=lv.offsets, dims=lv.dims,
             )
+            for lv in levels
+        )
+        return jax.shard_map(
+            local,
+            mesh=dev_mesh,
+            in_specs=(_P(axis), lv_specs),
+            out_specs=_P(axis),
+        )(r, levels)
+
+    def _schur_solve(self, rp: jnp.ndarray) -> jnp.ndarray:
+        dp = self._vcycle(rp)
+        for _ in range(self.outer - 1):
+            dp = dp + self._vcycle(rp - self._schur_apply(dp))
         return dp
 
     def __call__(self, x_t: jnp.ndarray) -> jnp.ndarray:

@@ -102,13 +102,27 @@ def assemble_system(
         from dedflow_tpu.fem.win_assembly import jacobian_win
 
         jmat = jacobian_win(ctx, wa, phys, scheme).zero_rows_t(mask.T)
+        if pc_type == "mg" and ctx.amg_idx is not None:
+            # unsmoothed-aggregation AMG on the RCM row blocks - the
+            # geometry-free counterpart of the reference's PCAMGX
+            # (pc.c:160-235); see solver.amg
+            from dedflow_tpu.solver.amg import AMGSchurPCT
+
+            return jmat, AMGSchurPCT.from_winell(
+                jmat, ctx.amg_idx, ctx.amg_eon, outer=pc_mg_outer
+            )
         if pc_type != "fieldsplit":
             import warnings
 
             warnings.warn(
-                f"krylov.pc={pc_type!r} is not yet available on the "
-                "windowed irregular path; using the fieldsplit "
-                "(block-Jacobi) preconditioner",
+                f"krylov.pc={pc_type!r} is not available on the windowed "
+                "irregular path"
+                + (
+                    " without an AMG plan (build_win_context with_amg)"
+                    if pc_type == "mg"
+                    else ""
+                )
+                + "; using the fieldsplit (block-Jacobi) preconditioner",
                 stacklevel=2,
             )
         return jmat, NSFieldSplitPCT.from_diag_rows(jmat.diag_rows())
@@ -116,15 +130,27 @@ def assemble_system(
         jmat = assemble_jacobian_t(ctx, face_ctxs, mask, wa, dwa, phys, scheme)
         assert ctx.scalar_implicit == scalar_implicit or not scalar_implicit
         if pc_type == "mg" and ctx.shard is not None:
-            import warnings
+            # shard-local additive-Schwarz MG (solver.mg docstring):
+            # needs z-plane-aligned slabs; otherwise fall back
+            from dedflow_tpu.solver.mg import MGSIMPLEPCT, infer_dims
 
-            warnings.warn(
-                "krylov.pc='mg' is not yet supported on the sharded lattice "
-                "path (the V-cycle reshapes are not shard-local); falling "
-                "back to the SIMPLE preconditioner",
-                stacklevel=2,
-            )
-            pc_type = "simple"
+            sdims = ctx.dims or infer_dims(ctx.offsets, ctx.num_node_real
+                                           or ctx.num_node)
+            try:
+                if sdims is None:
+                    raise ValueError("no structured grid")
+                return jmat, MGSIMPLEPCT.from_matrix(
+                    jmat, dims=sdims, outer=pc_mg_outer, shard=ctx.shard
+                )
+            except ValueError as e:
+                import warnings
+
+                warnings.warn(
+                    "krylov.pc='mg' on the sharded lattice path fell back "
+                    f"to SIMPLE: {e}",
+                    stacklevel=2,
+                )
+                pc_type = "simple"
         dims = ctx.dims
         if pc_type == "mg" and dims is None:
             # translation-class contexts are geometry-blind, but the grid

@@ -479,3 +479,89 @@ def test_sharded_lattice_jacobian_halo_collectives():
     for m in re.finditer(r"= (\w+)\[(\d+),(\d+)\][^\n]*all-gather", hlo):
         rows, lanes = int(m.group(2)), int(m.group(3))
         assert rows <= 16 or lanes < mesh.num_node, m.group(0)[:200]
+
+
+def test_sharded_mg_schur_pc():
+    """pc='mg' on the shard_map lattice path (VERDICT r3 item 2).
+
+    Two properties:
+    1. The distributed V-cycle is ARITHMETICALLY IDENTICAL to the
+       single-chip cycle on the same (slab-truncated) hierarchy - slab
+       cuts align with whole 2x2x2 aggregates and every level matvec
+       exchanges its stencil halo (solver.mg.ScalarDIALevel.matvec), so
+       sharding changes nothing but the execution layout.
+    2. It is a much stronger preconditioner than fieldsplit: at a fixed
+       f32 GMRES budget the MG residual is >= 10x lower. (No absolute
+       convergence bar: at this size/precision NO pc reaches 1e-5 in 200
+       f32 iterations - measured mg 6e-4 vs fieldsplit 4e-2.)
+    """
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from dedflow_tpu.fem import lattice as lat
+    from dedflow_tpu.solver.krylov import gmres
+    from dedflow_tpu.solver.mg import MGSIMPLEPCT, build_hierarchy, vcycle
+    from dedflow_tpu.solver.newton import assemble_system
+    from dedflow_tpu.solver.pc import NSFieldSplitPCT
+    from dedflow_tpu.sparse import dia_kernels as dk
+
+    mesh = box_mesh(15, 15, 15)  # sz = 256 divides the 1024-row slabs
+    cfg = dataclasses.replace(
+        reference_scenario_config(), lattice_backend="pallas",
+        krylov=dataclasses.replace(
+            reference_scenario_config().krylov, pc="mg"
+        ),
+    )
+    dmesh = jax.make_mesh((8,), ("dd",))
+    old = lat.INTERPRET_FUSED
+    old_dk = dk.INTERPRET
+    lat.INTERPRET_FUSED = dk.INTERPRET = True
+    try:
+        sh = ShardedNSSolver(mesh, cfg, dmesh, dtype=jnp.float32)
+        assert sh.lattice and sh.ctx.shard is not None
+        wg0, dwgold0, dwg0 = reference_initial_state(mesh)
+        state = tuple(sh.shard_state(x) for x in (wg0, dwgold0, dwg0))
+        jmat, pc = assemble_system(
+            sh.ctx, sh.face_ctxs, sh.mask, *state, cfg.physics, cfg.time,
+            pc_type="mg",
+        )
+        assert isinstance(pc, MGSIMPLEPCT) and pc.shard is not None
+        assert len(pc.levels) >= 2
+
+        # 1. exact match with the single-chip cycle on the global grid
+        # (padded z-planes are dead rows: zero stencils, unit diagonals)
+        ntot = jmat.data.shape[-1]
+        gdims = (16, 16, ntot // 256)
+        levels_g = build_hierarchy(
+            pc.bands.app, jmat.offsets, gdims, min_nodes=1,
+            max_levels=len(pc.levels),
+        )
+        assert tuple(lv.dims[2] * 8 for lv in pc.levels) == tuple(
+            lv.dims[2] for lv in levels_g
+        )
+        rng = np.random.default_rng(3)
+        r = jnp.asarray(rng.standard_normal(ntot).astype(np.float32))
+        y_g = np.asarray(vcycle(levels_g, r, omega=pc.omega))
+        y_s = np.asarray(pc._vcycle(r))
+        np.testing.assert_array_equal(y_g, y_s)
+
+        # 2. full PC apply is finite and beats fieldsplit at a fixed
+        # iteration budget by a wide residual margin
+        f = jnp.asarray(rng.standard_normal((6, ntot)).astype(np.float32))
+        # padded tail rows are unit-diagonal; keep the rhs there zero
+        f = f.at[:, mesh.num_node :].set(0.0)
+        y = pc(f)
+        assert bool(jnp.all(jnp.isfinite(y)))
+        kw = dict(maxit=200, atol=0.0, rtol=1e-5)
+        sol_mg = gmres(jmat.matvec_t, f, pc=pc, **kw)
+        sol_fs = gmres(
+            jmat.matvec_t, f,
+            pc=NSFieldSplitPCT.from_diag_rows(jmat.diag_rows()), **kw
+        )
+        rel_mg = float(sol_mg.resnorm) / float(sol_mg.resnorm0)
+        rel_fs = float(sol_fs.resnorm) / float(sol_fs.resnorm0)
+        assert np.isfinite(rel_mg) and rel_mg * 10.0 < rel_fs, (rel_mg, rel_fs)
+    finally:
+        lat.INTERPRET_FUSED = old
+        dk.INTERPRET = old_dk
