@@ -117,10 +117,16 @@ def bench_assembly_spmv(platform):
     n = int(os.environ.get("DEDFLOW_BENCH_N", 55 if platform == "tpu" else 12))
     dtype = jnp.float32
     if os.environ.get("DEDFLOW_BENCH_MESH", "box") == "delaunay":
-        # irregular-mesh floor: ~(n+1)^3 random points = ~box tet count
+        # genuinely irregular tier: ~(n+1)^3 random points = ~box tet
+        # count, RCM-reordered (the windowed kernels' locality contract;
+        # production meshes get the same ordering via mesh.reorder)
         from dedflow_tpu.mesh.gen import delaunay_mesh
+        from dedflow_tpu.mesh.reorder import rcm_order, reorder_mesh
 
         mesh = delaunay_mesh((n + 1) ** 3)
+        mesh = reorder_mesh(
+            mesh, rcm_order(np.asarray(mesh.ien), mesh.num_node)
+        )
     else:
         mesh = box_mesh(n, n, n)
     cfg = reference_scenario_config()
@@ -143,15 +149,23 @@ def bench_assembly_spmv(platform):
         elements_kernel=os.environ.get(
             "DEDFLOW_BENCH_EKERNEL", "pallas" if platform == "tpu" else "xla"
         ),
-        use_lattice=os.environ.get("DEDFLOW_BENCH_LATTICE", "auto"),
+        use_lattice=os.environ.get(
+            "DEDFLOW_BENCH_LATTICE",
+            "winell"
+            if os.environ.get("DEDFLOW_BENCH_MESH", "box") == "delaunay"
+            else "auto",
+        ),
     )
     solver = NSSolver(mesh, cfg, dtype=dtype)
-    lat = solver.lctx is not None
+    win = getattr(solver, "wctx", None) is not None
+    lat = solver.lctx is not None or win
     # which fast-path mechanism is active: "lattice" = generator metadata,
     # "classes" = translation classes detected from `ien` alone (the
-    # metadata-blind path converted meshes take), "gather" = fully general
+    # metadata-blind path converted meshes take), "winell" = windowed
+    # irregular kernels (Delaunay-class), "gather" = fully general
     mech = (
         "gather" if not lat
+        else "winell" if win
         else "classes" if cfg.use_lattice == "off" or mesh.lattice is None
         else "lattice"
     )
@@ -181,6 +195,10 @@ def bench_assembly_spmv(platform):
 
     def jac(ctx, face_ctxs, mask, wg, dwgold, dwg):
         wa, dwa = ns.alpha_states(wg, dwgold, dwg, scheme)
+        if win:
+            from dedflow_tpu.fem.win_assembly import jacobian_win
+
+            return jacobian_win(ctx, wa, phys, scheme).zero_rows_t(mask.T)
         if lat:
             from dedflow_tpu.fem.lattice import assemble_jacobian_t
 
@@ -193,7 +211,9 @@ def bench_assembly_spmv(platform):
         )
 
     n_spmv = 10
-    n_rep = 8  # in-jit repetitions per timed stage
+    # in-jit repetitions per timed stage; the windowed-tier Jacobian's
+    # transients run ~5 GB at 1.18M tets, so keep its loop short (HBM)
+    n_rep = 4 if win else 8
 
     # Every stage is timed as an in-jit loop with a carried data
     # dependency: ONE dispatch + ONE device sync per measurement, so the
@@ -232,29 +252,51 @@ def bench_assembly_spmv(platform):
 
         return jax.lax.fori_loop(0, n_spmv, body, x)
 
+    # Stages are compiled, timed, and released SEQUENTIALLY: the windowed
+    # tier's Jacobian transients peak at several GB, so the timing loops
+    # must not coexist on the device.
     cargs = (ctx, solver.face_ctxs, solver.mask)
     resid_c = jax.jit(resid).lower(*cargs, wg, dwgold, dwg).compile()
     resid_loop_c = jax.jit(resid_loop).lower(*cargs, wg, dwgold, dwg).compile()
     log("resid compiled")
+    f = resid_c(*cargs, wg, dwgold, dwg)
+    t_f = _timeit(resid_loop_c, *cargs, wg, dwgold, dwg, r1=1, r2=3) / n_rep
+    log(f"resid timed {t_f*1e3:.1f} ms")
+    del resid_loop_c
+
     jac_c = jax.jit(jac).lower(*cargs, wg, dwgold, dwg).compile()
     jac_loop_c = jax.jit(jac_loop).lower(*cargs, wg, dwgold, dwg).compile()
     log("jac compiled")
     jmat = jac_c(*cargs, wg, dwgold, dwg)
-    f = resid_c(*cargs, wg, dwgold, dwg)
-    spmv_c = jax.jit(spmv_loop).lower(jmat, f).compile()
-    log("spmv compiled")
-
-    t_f = _timeit(resid_loop_c, *cargs, wg, dwgold, dwg, r1=1, r2=3) / n_rep
-    log(f"resid timed {t_f*1e3:.1f} ms")
     t_j = _timeit(jac_loop_c, *cargs, wg, dwgold, dwg, r1=1, r2=3) / n_rep
     log(f"jac timed {t_j*1e3:.1f} ms")
+    del jac_loop_c
+
+    spmv_c = jax.jit(spmv_loop).lower(jmat, f).compile()
+    log("spmv compiled")
     t_s = _timeit(spmv_c, jmat, f, r1=2, r2=8)  # one call = 10 matvecs
     log(f"spmv timed {t_s*1e3:.1f} ms")
 
     fl_f, _ = _cost(resid_c)
     fl_j, _ = _cost(jac_c)
     fl_s, _ = _cost(spmv_c)
-    if lat:
+    if win:
+        # XLA cost analysis cannot see inside Pallas kernels: add the
+        # element-kernel flops from a small-size XLA compile, scaled.
+        from dedflow_tpu.fem import pallas_kernels as pk
+
+        m_probe = 4096
+
+        def probe(fn, rows):
+            x = jnp.ones((rows, m_probe), jnp.float32)
+            c = jax.jit(lambda v: fn(v, phys, scheme, backend="xla"))
+            fl, _ = _cost(c.lower(x).compile())
+            return fl / m_probe
+
+        fl_f += probe(pk.res_rows_call, 67) * mesh.num_tet
+        fl_j += probe(pk.lhs_rows_call, 27) * mesh.num_tet
+        fl_s += n_spmv * 2.0 * 18 * solver.sparsity.col_ind.size
+    elif lat:
         # XLA cost analysis cannot see inside Pallas kernels: add their
         # flops from a small-size compile of the identical XLA body
         # (pallas_kernels._res_rows/_lhs_rows), scaled per lane.
@@ -278,7 +320,11 @@ def bench_assembly_spmv(platform):
     # for the two assemblies, matrix+x for each SpMV.
     ne = mesh.num_tet
     n_nodes = mesh.num_node
-    pr = 15
+    # stored entries per row: the box stencil's 15, or the ACTUAL mean
+    # nodal degree on irregular meshes (Delaunay ~16.5) - the minimal
+    # matrix traffic is what is actually stored
+    nnz = int(solver.sparsity.col_ind.size)
+    pr = nnz / n_nodes if mech in ("winell", "gather") else 15
     fsz = jnp.dtype(dtype).itemsize
     by_f = ne * (22 + 2 * 4 * 6) * fsz + n_nodes * 6 * fsz
     by_j = ne * (22 + 2 * 4 * 6) * fsz + 3 * ne * 16 * 18 * fsz + n_nodes * pr * 18 * fsz
@@ -332,7 +378,55 @@ def bench_assembly_spmv(platform):
     # residual (the iters/s metric above cannot show iteration-count wins;
     # this one rewards both a stronger PC and cheaper iterations).
     solves = {}
-    if lat:
+    if win:
+        from dedflow_tpu.solver.amg import (
+            AMGIndices,
+            AMGSchurPCT,
+            build_amg_plan,
+        )
+        from dedflow_tpu.solver.pc import NSFieldSplitPCT
+
+        # AMG plan (pattern-only, host) for the pc='mg' variant
+        sp = solver.sparsity
+        rp = np.asarray(sp.row_ptr, dtype=np.int64)
+        rows_csr = np.repeat(
+            np.arange(mesh.num_node, dtype=np.int64), np.diff(rp)
+        )
+        amg_idx = AMGIndices.from_plan(
+            build_amg_plan(rows_csr, sp.col_ind, mesh.num_node)
+        )
+        amg_eon = jnp.asarray(
+            solver.wctx.win_plan.entry_of_nnz.astype(np.int32)
+        )
+
+        win_variants = {
+            "fieldsplit": lambda jm: NSFieldSplitPCT.from_diag_rows(
+                jm.diag_rows()
+            ),
+            "mg": lambda jm: AMGSchurPCT.from_winell(jm, amg_idx, amg_eon),
+        }
+        for name, mk in win_variants.items():
+
+            def tsolve(jm, b, mk=mk):
+                sol = gmres(
+                    jm.matvec_t, b, maxit=400, atol=0.0, rtol=1e-6,
+                    pc=mk(jm),
+                )
+                return sol.x, sol.iters, sol.resnorm, sol.resnorm0
+
+            try:
+                c = jax.jit(tsolve).lower(jmat, f).compile()
+                x_, it_, rn, rn0 = c(jmat, f)
+                t_v = _timeit(lambda jm, b: c(jm, b)[0], jmat, f, r1=1, r2=3)
+                solves[name] = dict(
+                    ms=t_v * 1e3,
+                    iters=int(it_),
+                    rel=float(rn / max(float(rn0), 1e-30)),
+                )
+                log(f"solve[{name}] {t_v*1e3:.1f} ms, {int(it_)} iters")
+            except Exception as e:  # noqa: BLE001
+                log(f"solve[{name}] failed ({type(e).__name__}: {str(e)[:120]})")
+    elif lat:
         from dedflow_tpu.solver.mg import MGSIMPLEPCT
         from dedflow_tpu.solver.pc import NSFieldSplitPCT, SIMPLEPCT
 
@@ -398,61 +492,120 @@ def bench_assembly_spmv(platform):
 
 
 def bench_dem(platform):
-    """DEM grid-path contact sweep at 100k particles (BASELINE config #4)."""
-    from dedflow_tpu.dem.cells import make_grid
+    """DEM grid-path contact sweeps (BASELINE config #4).
+
+    Three cases, each with the cell CAPACITY chosen from the actual
+    occupancy distribution (max initial occupancy + headroom) instead of
+    a fixed 8 - at dilute densities the dense sweep's padded lanes are
+    the whole cost, so K tracks what the packing needs:
+      - uniform 100k @ ~9% solids (the round-3 configuration),
+      - settled bed 100k @ ~45% solids (jittered cubic packing - the
+        regime a powder-settling run actually spends its time in),
+      - uniform 1M @ ~9% solids in a 2.15x box (scaling row).
+    """
+    from dedflow_tpu.dem.cells import cell_coords, make_grid
     from dedflow_tpu.dem.grid import grid_run, to_grid
     from dedflow_tpu.dem.integrate import DEMConfig
     from dedflow_tpu.dem.particles import particle_state
 
-    p = int(os.environ.get("DEDFLOW_BENCH_DEM_P", 100_000))
     radius = 0.006
-    rng = np.random.RandomState(0)
-    x = rng.uniform(0.02, 0.98, size=(p, 3)).astype(np.float32)
-    st = particle_state(x, radius=radius, mass=1.0)
-    grid = make_grid([0, 0, 0], [1, 1, 1], cell_size=2.5 * radius, capacity=8)
-    cfg = DEMConfig(
-        grid=grid, dt=1e-5, walls_lo=(0, 0, 0), walls_hi=(1, 1, 1)
-    )
     nsub = 10
-    gs = to_grid(grid, st, p)
-    run = jax.jit(lambda g: grid_run(cfg, g, 1.0, nsub))
-    run(gs)  # compile
-    t = _timeit(run, gs, r1=1, r2=3)
-    k = grid.capacity
-    nc = grid.num_cell
-    pairs = 27.0 * k * k * nc * nsub
-    pairs_per_s = pairs / t
-    # Honest throughput: ACTUAL candidate pairs examined (occupied-slot x
-    # occupied-slot within the 27-cell neighborhood) - the number a
-    # cell-list DEM code would call its candidate count. The slots metric
-    # above counts every padded lane (>95% empty at 100k particles).
-    occ = np.asarray(jnp.sum(gs.mask, axis=0)).reshape(grid.dims)
-    cand = 0.0
-    for dx in (-1, 0, 1):
-        for dy in (-1, 0, 1):
-            for dz in (-1, 0, 1):
-                sh = np.zeros_like(occ)
-                src = occ[
-                    max(dx, 0) : occ.shape[0] + min(dx, 0),
-                    max(dy, 0) : occ.shape[1] + min(dy, 0),
-                    max(dz, 0) : occ.shape[2] + min(dz, 0),
-                ]
-                sh[
-                    max(-dx, 0) : occ.shape[0] + min(-dx, 0),
-                    max(-dy, 0) : occ.shape[1] + min(-dy, 0),
-                    max(-dz, 0) : occ.shape[2] + min(-dz, 0),
-                ] = src
-                cand += float((occ * sh).sum())
-    cand_per_s = cand * nsub / t
-    log(
-        f"dem: {p} particles grid {grid.dims} K={k} "
-        f"{t/nsub*1e3:.1f} ms/substep ({pairs_per_s/1e9:.2f} G pair-slots/s, "
-        f"{cand_per_s/1e9:.2f} G candidate-pairs/s)"
-    )
+
+    def run_case(name, x, box_hi):
+        p = x.shape[0]
+        st = particle_state(x, radius=radius, mass=1.0)
+        # capacity from the actual occupancy: max + 1 headroom, >= 2
+        probe = make_grid([0, 0, 0], box_hi, cell_size=2.5 * radius, capacity=2)
+        cc = cell_coords(probe, jnp.asarray(x))
+        cid = (
+            cc[:, 0] * probe.dims[1] + cc[:, 1]
+        ) * probe.dims[2] + cc[:, 2]
+        occ = np.bincount(np.asarray(cid), minlength=probe.num_cell)
+        k = max(2, int(occ.max()) + 1)
+        grid = make_grid(
+            [0, 0, 0], box_hi, cell_size=2.5 * radius, capacity=k
+        )
+        cfg = DEMConfig(
+            grid=grid, dt=1e-5, walls_lo=(0, 0, 0), walls_hi=tuple(box_hi)
+        )
+        gs = to_grid(grid, st, p)
+        dropped = p - int(np.asarray(jnp.sum(gs.mask)))
+        run = jax.jit(lambda g: grid_run(cfg, g, 1.0, nsub))
+        run(gs)  # compile
+        t = _timeit(run, gs, r1=1, r2=3)
+        nc = grid.num_cell
+        pairs = 27.0 * k * k * nc * nsub
+        # honest throughput: ACTUAL candidate pairs (occupied x occupied
+        # within the 27-cell neighborhood)
+        occg = np.asarray(jnp.sum(gs.mask, axis=0)).reshape(grid.dims)
+        cand = 0.0
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for dz in (-1, 0, 1):
+                    sh = np.zeros_like(occg)
+                    src = occg[
+                        max(dx, 0) : occg.shape[0] + min(dx, 0),
+                        max(dy, 0) : occg.shape[1] + min(dy, 0),
+                        max(dz, 0) : occg.shape[2] + min(dz, 0),
+                    ]
+                    sh[
+                        max(-dx, 0) : occg.shape[0] + min(-dx, 0),
+                        max(-dy, 0) : occg.shape[1] + min(-dy, 0),
+                        max(-dz, 0) : occg.shape[2] + min(-dz, 0),
+                    ] = src
+                    cand += float((occg * sh).sum())
+        out = dict(
+            particles=p,
+            capacity=k,
+            dims=list(grid.dims),
+            dropped=dropped,
+            t_substep_ms=t / nsub * 1e3,
+            pair_slots_per_s=27.0 * k * k * nc * nsub / t,
+            candidate_pairs_per_s=cand * nsub / t,
+        )
+        log(
+            f"dem[{name}]: {p} particles K={k} grid {grid.dims} "
+            f"{t/nsub*1e3:.2f} ms/substep "
+            f"({out['pair_slots_per_s']/1e9:.2f} G slots/s, "
+            f"{out['candidate_pairs_per_s']/1e9:.3f} G candidate-pairs/s, "
+            f"dropped {dropped})"
+        )
+        return out
+
+    rng = np.random.RandomState(0)
+    p0 = int(os.environ.get("DEDFLOW_BENCH_DEM_P", 100_000))
+    cases = {}
+    x_uni = rng.uniform(0.02, 0.98, size=(p0, 3)).astype(np.float32)
+    cases["uniform_100k"] = run_case("uniform_100k", x_uni, (1, 1, 1))
+
+    # settled bed at ~45% solids: jittered cubic packing in a slab
+    s = radius * (4.0 * np.pi / (3.0 * 0.45)) ** (1.0 / 3.0)
+    npx = int(1.0 / s)
+    nz_layers = -(-p0 // (npx * npx))
+    ii = np.arange(p0)
+    gx = (ii % npx + 0.5) * s
+    gy = ((ii // npx) % npx + 0.5) * s
+    gz = (ii // (npx * npx) + 0.5) * s
+    jit = (rng.uniform(-0.08, 0.08, size=(p0, 3)) * s).astype(np.float32)
+    x_bed = np.stack([gx, gy, gz], axis=1).astype(np.float32) + jit
+    cases["settled_bed_100k"] = run_case("settled_bed_100k", x_bed, (1, 1, 1))
+
+    if os.environ.get("DEDFLOW_BENCH_DEM_BIG", "1") != "0":
+        p1 = 1_000_000
+        side = (p1 / p0) ** (1.0 / 3.0)
+        x_big = (
+            rng.uniform(0.02, 0.98, size=(p1, 3)).astype(np.float32) * side
+        )
+        cases["uniform_1M"] = run_case("uniform_1M", x_big, (side,) * 3)
+
+    head = cases["uniform_100k"]
     return dict(
-        dem_pairs_per_s=pairs_per_s,
-        dem_candidate_pairs_per_s=cand_per_s,
-        t_substep_ms=t / nsub * 1e3,
+        dem_pairs_per_s=head["pair_slots_per_s"],
+        dem_candidate_pairs_per_s=max(
+            c["candidate_pairs_per_s"] for c in cases.values()
+        ),
+        t_substep_ms=head["t_substep_ms"],
+        cases=cases,
     )
 
 
@@ -476,6 +629,14 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 - deliberate fault barrier
             log(f"section {fn.__name__} failed ({type(e).__name__}: "
                 f"{str(e)[:200]}); retrying once")
+            # drop the failed frames' device-buffer references before the
+            # retry (a RESOURCE_EXHAUSTED retry otherwise re-allocates on
+            # top of the dead attempt's live arrays)
+            import gc
+
+            e.__traceback__ = None
+            del e
+            gc.collect()
             return fn(*a)
 
     asm = attempt(bench_assembly_spmv, platform)
@@ -504,6 +665,7 @@ def main() -> None:
                     "t_spmv_ms": round(asm["t_spmv_ms"], 3),
                     "t_gmres120_ms": round(asm["t_gmres_ms"], 1),
                     "t_dem_substep_ms": round(dem["t_substep_ms"], 2),
+                    "dem_cases": dem.get("cases"),
                     "num_tet": asm["num_tet"],
                     "lattice": asm["lattice"],
                     "fastpath": asm["fastpath"],
