@@ -49,6 +49,28 @@ _STATE_PERM = np.array(
     + [a * 12 + 11 for a in range(4)]  # dT (dwa 5)
 )
 
+# windowed-gather row maps (sparse.win_gather): state-table row c of
+# vertex a -> element-kernel input row (the order _STATE_PERM encodes).
+# State table layout: rows 0-5 = wa comps, 6 = source, 8-13 = dwa comps.
+_RES_ROWMAP = tuple(
+    tuple(
+        (c * 4 + a) if c < 3  # u
+        else (28 + a) if c == 4  # phi
+        else (32 + a) if c == 5  # T
+        else (44 + a) if c == 6  # source
+        else (12 + (c - 8) * 4 + a) if 8 <= c <= 10  # du
+        else (24 + a) if c == 11  # p (rate slot)
+        else (36 + a) if c == 12  # dphi
+        else (40 + a) if c == 13  # dT
+        else -1
+        for c in range(16)
+    )
+    for a in range(4)
+)
+_JAC_ROWMAP = tuple(
+    tuple((c * 4 + a) if c < 3 else -1 for c in range(8)) for a in range(4)
+)
+
 
 
 
@@ -76,6 +98,7 @@ class WinAssemblyContext:
     fsc_plan: object = dataclass_field(default=None, metadata=dict(static=True))
     jsc_plan: object = dataclass_field(default=None, metadata=dict(static=True))
     win_plan: object = dataclass_field(default=None, metadata=dict(static=True))
+    gat_plan: object = dataclass_field(default=None, metadata=dict(static=True))
     jac_scatter: str = dataclass_field(default="stream", metadata=dict(static=True))
     # "pallas" on TPU, "xla" elsewhere (CPU tests / f64 oracle)
     backend: str = dataclass_field(default="pallas", metadata=dict(static=True))
@@ -174,6 +197,12 @@ def build_win_context(
         upd_perm = jnp.asarray(perm.astype(np.int32))
         upd_tgt = jnp.asarray(flat_tgt[perm].astype(np.int32))
 
+    # windowed state-gather plan (sparse.win_gather): per-(vertex, vreg)
+    # node-window schedule for the in-kernel element state gather
+    from dedflow_tpu.sparse.win_gather import build_gather_plan
+
+    gat_plan = build_gather_plan(ien.T, n)
+
     # static phi/T identity diagonals (frozen mode): nodal tet
     # multiplicity at the diagonal entries (assemble.cu:757-758)
     mult = np.bincount(ien.ravel(), minlength=n).astype(np.float32)
@@ -206,6 +235,7 @@ def build_win_context(
         fsc_plan=fsc_plan,
         jsc_plan=jsc_plan,
         win_plan=win_plan,
+        gat_plan=gat_plan,
         jac_scatter=jac_scatter,
         pull_tiers=pull_tiers,
         backend=backend,
@@ -230,25 +260,42 @@ def residual_win(
     """(6, N) component-major residual (volume terms)."""
     if backend is None:
         backend = ctx.backend
-    from dedflow_tpu.utils.xla import take_rows
 
     f32 = jnp.float32
     ne = ctx.num_elem
-    wd = take_rows(
-        jnp.concatenate(
-            [w_alpha.astype(f32), dw_alpha.astype(f32)], axis=1
-        ),
-        ctx.ien,
-    ).reshape(ne, 48)
-    state_rows = wd.T[jnp.asarray(_STATE_PERM)]  # (44, ne)
-    src_rows = (
-        jnp.zeros((4, ne), f32)
-        if source is None
-        else take_rows(source.astype(f32), ctx.ien).T
-    )
-    inp = jnp.concatenate(
-        [ctx.res_geom, state_rows, src_rows]
-    )  # (67, ne)
+    if backend == "pallas" and ctx.gat_plan is not None:
+        # windowed in-kernel state gather (sparse.win_gather): emits the
+        # element-kernel rows directly - no XLA row-gather / transpose
+        from dedflow_tpu.sparse.win_gather import win_gather
+
+        x16 = jnp.zeros((14, ctx.num_node), f32)
+        x16 = x16.at[:6].set(w_alpha.T.astype(f32))
+        x16 = x16.at[8:14].set(dw_alpha.T.astype(f32))
+        if source is not None:
+            x16 = x16.at[6].set(source.astype(f32))
+        gathered = win_gather(
+            ctx.gat_plan, ctx.ien.T, x16, _RES_ROWMAP, 48,
+            interpret=interpret,
+        )
+        inp = jnp.concatenate([ctx.res_geom, gathered])  # (67, ne)
+    else:
+        from dedflow_tpu.utils.xla import take_rows
+
+        wd = take_rows(
+            jnp.concatenate(
+                [w_alpha.astype(f32), dw_alpha.astype(f32)], axis=1
+            ),
+            ctx.ien,
+        ).reshape(ne, 48)
+        state_rows = wd.T[jnp.asarray(_STATE_PERM)]  # (44, ne)
+        src_rows = (
+            jnp.zeros((4, ne), f32)
+            if source is None
+            else take_rows(source.astype(f32), ctx.ien).T
+        )
+        inp = jnp.concatenate(
+            [ctx.res_geom, state_rows, src_rows]
+        )  # (67, ne)
     out24 = pk.res_rows_call(
         inp, phys, scheme, backend=backend, interpret=interpret
     )
@@ -276,16 +323,25 @@ def jacobian_win(
     """WinELL field-split Jacobian (frozen-scalar mode)."""
     if backend is None:
         backend = ctx.backend
-    from dedflow_tpu.utils.xla import take_rows
 
     f32 = jnp.float32
     ne = ctx.num_elem
-    ue = take_rows(w_alpha[:, :3].astype(f32), ctx.ien).reshape(ne, 12)
-    u_rows = ue.T[
-        jnp.asarray(
-            np.array([a * 3 + i for i in range(3) for a in range(4)])
-        )
-    ]  # (12, ne) rows i*4+a
+    if backend == "pallas" and ctx.gat_plan is not None:
+        from dedflow_tpu.sparse.win_gather import win_gather
+
+        u_rows = win_gather(
+            ctx.gat_plan, ctx.ien.T, w_alpha[:, :3].T.astype(f32),
+            _JAC_ROWMAP, 12, interpret=interpret,
+        )  # (12, ne) rows i*4+a
+    else:
+        from dedflow_tpu.utils.xla import take_rows
+
+        ue = take_rows(w_alpha[:, :3].astype(f32), ctx.ien).reshape(ne, 12)
+        u_rows = ue.T[
+            jnp.asarray(
+                np.array([a * 3 + i for i in range(3) for a in range(4)])
+            )
+        ]  # (12, ne) rows i*4+a
     inp = jnp.concatenate(
         [ctx.lhs_geom[:12], u_rows, ctx.lhs_geom[12:]]
     )  # (27, ne)
