@@ -379,25 +379,21 @@ def bench_assembly_spmv(platform):
     # this one rewards both a stronger PC and cheaper iterations).
     solves = {}
     if win:
-        from dedflow_tpu.solver.amg import (
-            AMGIndices,
-            AMGSchurPCT,
-            build_amg_plan,
-        )
+        from dedflow_tpu.solver.amg import AMGSchurPCT
         from dedflow_tpu.solver.pc import NSFieldSplitPCT
 
-        # AMG plan (pattern-only, host) for the pc='mg' variant
-        sp = solver.sparsity
-        rp = np.asarray(sp.row_ptr, dtype=np.int64)
-        rows_csr = np.repeat(
-            np.arange(mesh.num_node, dtype=np.int64), np.diff(rp)
-        )
-        amg_idx = AMGIndices.from_plan(
-            build_amg_plan(rows_csr, sp.col_ind, mesh.num_node)
-        )
-        amg_eon = jnp.asarray(
-            solver.wctx.win_plan.entry_of_nnz.astype(np.int32)
-        )
+        # AMG plan for the pc='mg' variant: the context's own (built when
+        # cfg.krylov.pc == 'mg'), else the same shared helper the context
+        # uses - bench and production cannot drift
+        wctx = solver.wctx
+        if wctx.amg_idx is not None:
+            amg_idx, amg_eon = wctx.amg_idx, wctx.amg_eon
+        else:
+            from dedflow_tpu.fem.win_assembly import build_win_amg
+
+            amg_idx, amg_eon = build_win_amg(
+                solver.sparsity, wctx.win_plan, mesh.num_node
+            )
 
         win_variants = {
             "fieldsplit": lambda jm: NSFieldSplitPCT.from_diag_rows(

@@ -283,6 +283,10 @@ def main(argv=None) -> int:
         solver = ShardedNSSolver(mesh, cfg, dmesh, dtype=dtype)
     else:
         solver = NSSolver(mesh, cfg, dtype=dtype)
+    if hasattr(solver, "fastpath"):
+        # which assembly tier this run got (lattice / classes / winell /
+        # gather) - production visibility into the auto-gate decision
+        log.info("assembly fastpath: %s", solver.fastpath)
     if sharded:
         to_dev = solver.shard_state
         to_host = solver.gather_state

@@ -194,20 +194,31 @@ def grid_pair_forces(grid: CellGrid, gs: GridState, prm: ContactParams):
 _E_DEM = 2048  # cells per Pallas contact-kernel grid step
 
 
-def _pack_fields(gs: GridState, nb: int, opad: int) -> jnp.ndarray:
-    """(9K, NB*E + 2*opad) f32 window array: pos(3K), vel(3K), radius(K),
-    mask(K), pid-as-float(K) rows, front/back zero-padded for the halo
-    DMA. Float pid comparison is exact below 2^24 particles."""
+def _pack_fields(gs: GridState, nb: int, opad: int, k8: int) -> jnp.ndarray:
+    """(9*K8, NB*E + 2*opad) f32 window array: pos(3), vel(3), radius,
+    mask, pid-as-float blocks, each padded from K to K8 = roundup(K, 8)
+    rows so every field block starts on a sublane-tile boundary (Mosaic
+    rejects VMEM row slices at non-8-multiple offsets - the r4 bench
+    MosaicError with occupancy-sized odd K). Padded slot rows carry
+    mask 0, so they contribute nothing. Front/back zero-padded for the
+    halo DMA. Float pid comparison is exact below 2^24 particles."""
     nc = gs.mask.shape[1]
+    k = gs.mask.shape[0]
     rows = list(gs.pos) + list(gs.vel) + [
         gs.radius, gs.mask, gs.pid.astype(jnp.float32),
     ]
-    arr = jnp.concatenate([r.astype(jnp.float32) for r in rows], axis=0)
+    arr = jnp.concatenate(
+        [
+            jnp.pad(r.astype(jnp.float32), ((0, k8 - k), (0, 0)))
+            for r in rows
+        ],
+        axis=0,
+    )
     slen = nb * _E_DEM + 2 * opad
     return jnp.pad(arr, ((0, 0), (opad, slen - opad - nc)))
 
 
-def _pair_kernel(f_hbm, out_ref, win, sem, *, offs, opad, e, k, prm):
+def _pair_kernel(f_hbm, out_ref, win, sem, *, offs, opad, e, k, k8, prm):
     kblk = pl.program_id(0)
     pltpu.make_async_copy(
         f_hbm.at[:, pl.ds(kblk * e, e + 2 * opad)], win, sem
@@ -216,20 +227,22 @@ def _pair_kernel(f_hbm, out_ref, win, sem, *, offs, opad, e, k, prm):
         f_hbm.at[:, pl.ds(kblk * e, e + 2 * opad)], win, sem
     ).wait()
     c0 = opad
-    pos = [win[c * k : (c + 1) * k, c0 : c0 + e] for c in range(3)]
-    vel = [win[(3 + c) * k : (4 + c) * k, c0 : c0 + e] for c in range(3)]
-    rad = win[6 * k : 7 * k, c0 : c0 + e]
-    msk = win[7 * k : 8 * k, c0 : c0 + e]
-    pid = win[8 * k : 9 * k, c0 : c0 + e]
-    f = [jnp.zeros((k, e), jnp.float32) for _ in range(3)]
+    # field blocks live at k8-row (sublane-aligned) strides; rows k..k8-1
+    # are zero-mask padding and produce zero forces
+    pos = [win[c * k8 : c * k8 + k8, c0 : c0 + e] for c in range(3)]
+    vel = [win[(3 + c) * k8 : (3 + c) * k8 + k8, c0 : c0 + e] for c in range(3)]
+    rad = win[6 * k8 : 7 * k8, c0 : c0 + e]
+    msk = win[7 * k8 : 8 * k8, c0 : c0 + e]
+    pid = win[8 * k8 : 9 * k8, c0 : c0 + e]
+    f = [jnp.zeros((k8, e), jnp.float32) for _ in range(3)]
     for o in offs:
         s = c0 + o
         for kp in range(k):
-            pn = [win[c * k + kp, s : s + e] for c in range(3)]
-            vn = [win[(3 + c) * k + kp, s : s + e] for c in range(3)]
-            rn = win[6 * k + kp, s : s + e]
-            mn = win[7 * k + kp, s : s + e]
-            idn = win[8 * k + kp, s : s + e]
+            pn = [win[c * k8 + kp, s : s + e] for c in range(3)]
+            vn = [win[(3 + c) * k8 + kp, s : s + e] for c in range(3)]
+            rn = win[6 * k8 + kp, s : s + e]
+            mn = win[7 * k8 + kp, s : s + e]
+            idn = win[8 * k8 + kp, s : s + e]
             d = [pos[c] - pn[c] for c in range(3)]
             dist2 = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
             dist = jnp.sqrt(jnp.maximum(dist2, prm.eps))
@@ -256,42 +269,45 @@ def _pair_kernel(f_hbm, out_ref, win, sem, *, offs, opad, e, k, prm):
                 for c in range(3):
                     f[c] = f[c] - ft / vt_norm * vt[c]
     for c in range(3):
-        out_ref[c * k : (c + 1) * k, :] = f[c]
+        out_ref[c * k8 : (c + 1) * k8, :] = f[c]
 
 
-def grid_pair_forces_pallas(grid: CellGrid, gs: GridState, prm: ContactParams):
+def grid_pair_forces_pallas(grid: CellGrid, gs: GridState, prm: ContactParams,
+                            interpret: bool = False):
     """Fused TPU contact sweep: one haloed window DMA per cell block, the
     whole 27-offset x K-slot pair loop in VMEM. Numerically identical op
     order to grid_pair_forces (the XLA oracle), measured ~4x faster at
     100k particles (the XLA version re-streams the 9 field arrays from
     HBM for every (offset, slot) pair)."""
     k = grid.capacity
+    k8 = -(-k // 8) * 8  # sublane-aligned field-block stride
     nc = gs.mask.shape[1]
     offs = _offsets(grid)
     omax = max(abs(o) for o in offs)
     opad = -(-omax // 128) * 128
     e = _E_DEM
     nb = -(-nc // e)
-    packed = _pack_fields(gs, nb, opad)
+    packed = _pack_fields(gs, nb, opad, k8)
     kern = functools.partial(
-        _pair_kernel, offs=offs, opad=opad, e=e, k=k, prm=prm
+        _pair_kernel, offs=offs, opad=opad, e=e, k=k, k8=k8, prm=prm
     )
     out = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((3 * k, nb * e), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((3 * k8, nb * e), jnp.float32),
         grid=(nb,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((3 * k, e), lambda kb: (0, kb)),
+        out_specs=pl.BlockSpec((3 * k8, e), lambda kb: (0, kb)),
         scratch_shapes=[
-            pltpu.VMEM((9 * k, e + 2 * opad), jnp.float32),
+            pltpu.VMEM((9 * k8, e + 2 * opad), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
+        interpret=interpret,
     )(packed)
     return [
-        out[c * k : (c + 1) * k, :nc].astype(gs.mask.dtype) for c in range(3)
+        out[c * k8 : c * k8 + k, :nc].astype(gs.mask.dtype) for c in range(3)
     ]
 
 

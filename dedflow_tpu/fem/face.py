@@ -76,6 +76,14 @@ class FaceContext:
     # state-independent facet Jacobian band (D, 18, span), precomputed by
     # solver setup (face_lhs_static_band); None = compute per assembly
     lhs_static_band: jnp.ndarray | None = None
+    # WinELL-entry scatter plan (windowed irregular path): facet (f, ab)
+    # contributions -> compact unique entry slots, attached by
+    # fem.win_assembly.attach_face_win_plans when the solver selects the
+    # winell tier (assemble.cu:1764-1964 on irregular meshes)
+    win_perm: jnp.ndarray | None = None  # (nf*16,) sort by entry slot
+    win_seg: jnp.ndarray | None = None  # (nf*16,) compact segment id
+    win_uniq: jnp.ndarray | None = None  # (nu,) WinELL entry slots
+    win_num_uniq: int = field(default=0, metadata=dict(static=True))
 
 
 def _slot_plan(targets: np.ndarray, num_slots: int) -> np.ndarray:

@@ -98,7 +98,10 @@ def _rep_b(x):
 
 def _lhs_kernel(inp_ref, out_ref, *, rho, mu, f1, f2, dt, cp=1.0,
                 kappa=1.0, scalar_implicit=False):
-    out_ref[:, :] = _lhs_rows(inp_ref[:, :], rho=rho, mu=mu, f1=f1, f2=f2, dt=dt)
+    out_ref[:, :] = _lhs_rows(
+        inp_ref[:, :], rho=rho, mu=mu, f1=f1, f2=f2, dt=dt, cp=cp,
+        kappa=kappa, scalar_implicit=scalar_implicit,
+    )
 
 
 def _lhs_rows(inp, *, rho, mu, f1, f2, dt, ncomp=18, cp=1.0, kappa=1.0,

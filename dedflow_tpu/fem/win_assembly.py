@@ -71,6 +71,13 @@ _JAC_ROWMAP = tuple(
     tuple((c * 4 + a) if c < 3 else -1 for c in range(8)) for a in range(4)
 )
 
+# pull-path Jacobian memory caps (see jacobian_win): elements per
+# LHS-element-kernel chunk (transient ~ 2*18*16*chunk floats ~ 600 MB)
+# and gathered update ROWS (= tier_rows * pad) per tier-gather chunk
+# (transient ~ 18 * rows * 4 B ~ 580 MB)
+_JAC_EKERNEL_CHUNK = 1 << 18
+_JAC_GATHER_ELEMS = 1 << 23
+
 
 
 
@@ -112,10 +119,59 @@ class WinAssemblyContext:
         return None
 
 
+def attach_face_win_plans(face_ctxs, sparsity, win_plan):
+    """Attach WinELL-entry scatter plans to weak-BC face contexts so the
+    windowed irregular path can assemble facet (Nitsche) terms
+    (assemble.cu:1764-1964): each facet (f, ab) contribution maps to the
+    parent element's CSR nnz slot and from there to its WinELL entry.
+    Returns the face contexts with win_perm/win_seg/win_uniq populated.
+
+    The compact unique-entry segment-sum keeps the per-assembly facet
+    scatter O(boundary), not O(matrix): nu <= nf*16 << S."""
+    import dataclasses as _dc
+
+    out = []
+    for fctx in face_ctxs:
+        nnz16 = np.asarray(sparsity.elem_nnz, dtype=np.int64).reshape(
+            -1, 16
+        )[np.asarray(fctx.f2e)]
+        tgt = win_plan.entry_of_nnz[nnz16.ravel()]
+        perm = np.argsort(tgt, kind="stable")
+        tgt_s = tgt[perm]
+        uniq, seg = np.unique(tgt_s, return_inverse=True)
+        out.append(
+            _dc.replace(
+                fctx,
+                win_perm=jnp.asarray(perm.astype(np.int32)),
+                win_seg=jnp.asarray(seg.astype(np.int32)),
+                win_uniq=jnp.asarray(uniq.astype(np.int32)),
+                win_num_uniq=int(uniq.size),
+            )
+        )
+    return tuple(out)
+
+
+def build_win_amg(sparsity, win_plan, n: int, min_nodes: int = 2048):
+    """(amg_idx, amg_eon) for pc='mg' on the windowed path: the
+    pattern-only solver.amg hierarchy over the nodal sparsity plus the
+    WinELL entry slot of each CSR entry (the level-0 value gather).
+    Shared by build_win_context(with_amg=True) and bench.py so the two
+    cannot drift."""
+    from dedflow_tpu.solver.amg import AMGIndices, build_amg_plan
+
+    rp = np.asarray(sparsity.row_ptr, dtype=np.int64)
+    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(rp))
+    amg_idx = AMGIndices.from_plan(
+        build_amg_plan(rows, sparsity.col_ind, n, min_nodes=min_nodes)
+    )
+    amg_eon = jnp.asarray(win_plan.entry_of_nnz.astype(np.int32))
+    return amg_idx, amg_eon
+
+
 def build_win_context(
     mesh, sparsity, dtype=jnp.float32, jac_scatter: str = "pull",
     backend: str | None = None, with_amg: bool = False,
-    amg_min_nodes: int = 2048,
+    amg_min_nodes: int = 2048, with_win_gather: bool = False,
 ) -> WinAssemblyContext:
     """mesh must be RCM-reordered with elements sorted by min node
     (mesh.reorder.reorder_mesh) - locality is what bounds the stream
@@ -171,10 +227,15 @@ def build_win_context(
         counts = np.bincount(tgt_s, minlength=win_plan.S)
         ends = np.cumsum(counts)
         fill = 16 * ne  # appended zero row
-        ladder = (8, 12, 16, 24, 32, 48, 64, 128, 256, 512)
+        ladder = [8, 12, 16, 24, 32, 48, 64, 128, 256, 512]
         deg = counts
         real = np.zeros(win_plan.S, dtype=bool)
         real[win_plan.entry_of_nnz] = True
+        # extend the ladder so every real entry lands in a tier - a
+        # silent drop would zero its Jacobian contributions (ADVICE r4)
+        max_deg = int(deg[real].max()) if real.any() else 0
+        while ladder[-1] < max_deg:
+            ladder.append(ladder[-1] * 2)
         tiers = []
         for i, pad in enumerate(ladder):
             lo = ladder[i - 1] if i else 0
@@ -198,10 +259,16 @@ def build_win_context(
         upd_tgt = jnp.asarray(flat_tgt[perm].astype(np.int32))
 
     # windowed state-gather plan (sparse.win_gather): per-(vertex, vreg)
-    # node-window schedule for the in-kernel element state gather
-    from dedflow_tpu.sparse.win_gather import build_gather_plan
+    # node-window schedule for the in-kernel element state gather.
+    # MEASURED SLOW at bench scale (residual 189.9 ms via win_gather vs
+    # 33.4 ms via the flat take_rows gather+fused transpose at 1.18M
+    # tets, r5 winfix_probe) - kept for the kernel's tests but NOT built
+    # by default; pass with_win_gather=True to opt in.
+    gat_plan = None
+    if with_win_gather:
+        from dedflow_tpu.sparse.win_gather import build_gather_plan
 
-    gat_plan = build_gather_plan(ien.T, n)
+        gat_plan = build_gather_plan(ien.T, n)
 
     # static phi/T identity diagonals (frozen mode): nodal tet
     # multiplicity at the diagonal entries (assemble.cu:757-758)
@@ -213,14 +280,9 @@ def build_win_context(
     # pattern-only, built once per mesh
     amg_idx = amg_eon = None
     if with_amg:
-        from dedflow_tpu.solver.amg import AMGIndices, build_amg_plan
-
-        rp = np.asarray(sparsity.row_ptr, dtype=np.int64)
-        rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(rp))
-        amg_idx = AMGIndices.from_plan(
-            build_amg_plan(rows, sparsity.col_ind, n, min_nodes=amg_min_nodes)
+        amg_idx, amg_eon = build_win_amg(
+            sparsity, win_plan, n, min_nodes=amg_min_nodes
         )
-        amg_eon = jnp.asarray(win_plan.entry_of_nnz.astype(np.int32))
     return WinAssemblyContext(
         res_geom=res_geom.astype(jnp.float32),
         lhs_geom=lhs_geom.astype(jnp.float32),
@@ -256,8 +318,12 @@ def residual_win(
     source=None,
     backend: str | None = None,
     interpret: bool = False,
+    face_ctxs=(),
 ) -> jnp.ndarray:
-    """(6, N) component-major residual (volume terms)."""
+    """(6, N) component-major residual: volume terms + weak-BC facet
+    terms (assemble.cu:1068-1126) for any face context carrying the
+    standard node scatter plan. Facet work is O(boundary) - the plain
+    sorted segment-sum is ~free against the volume stream scatter."""
     if backend is None:
         backend = ctx.backend
 
@@ -309,6 +375,17 @@ def residual_win(
                 ctx.fsc_plan[a], ctx.fsc_idx[a], fv, interpret=interpret
             )
         y = ya if y is None else y + ya
+    if face_ctxs:
+        from dedflow_tpu.fem.face import (
+            face_residual_elements,
+            scatter_face_residual,
+        )
+
+        for fctx in face_ctxs:
+            ef = face_residual_elements(
+                fctx, w_alpha.astype(f32), dw_alpha.astype(f32), phys
+            )
+            y = y + scatter_face_residual(fctx, ef, ctx.num_node).T
     return y
 
 
@@ -319,8 +396,18 @@ def jacobian_win(
     scheme,
     backend: str | None = None,
     interpret: bool = False,
+    dw_alpha: jnp.ndarray | None = None,  # (N, 6); needed for face terms
+    face_ctxs=(),
+    scalar_implicit: bool = False,
 ) -> we.WinELLMatrix:
-    """WinELL field-split Jacobian (frozen-scalar mode)."""
+    """WinELL field-split Jacobian.
+
+    scalar_implicit=True routes the implicit phi/T transport tangents
+    (melt-pool runs; pallas_kernels._lhs_rows comps 16/17) through the
+    same entry scatter as the velocity-pressure comps; the frozen mode
+    installs the static identity diagonals instead. face_ctxs adds the
+    weak-BC facet blocks (assemble.cu:1127-1193) via the compact
+    WinELL-entry plans attached by attach_face_win_plans."""
     if backend is None:
         backend = ctx.backend
 
@@ -342,65 +429,111 @@ def jacobian_win(
                 np.array([a * 3 + i for i in range(3) for a in range(4)])
             )
         ]  # (12, ne) rows i*4+a
-    inp = jnp.concatenate(
-        [ctx.lhs_geom[:12], u_rows, ctx.lhs_geom[12:]]
-    )  # (27, ne)
-    out288 = pk.lhs_rows_call(
-        inp, phys, scheme,
-        backend="xla" if backend == "xla" else "pallas",
-        interpret=interpret,
-    )
-    # rows (ab)*18 + c
+    geo_rows = [ctx.lhs_geom[:12], u_rows, ctx.lhs_geom[12:]]
+    if scalar_implicit:
+        # the implicit phi/T taus use the residual's metric form
+        # t1 = u.G.u: append the 6 packed metric rows (res_geom 13:19)
+        geo_rows.append(ctx.res_geom[13:19])
+    inp = jnp.concatenate(geo_rows)  # (27|33, ne)
+    # rows (ab)*18 + c; frozen mode scatters comps 0..15 (16/17 are the
+    # static identity diagonals, installed below), implicit mode all 18
+    ncs = 18 if scalar_implicit else 16
     plan = ctx.win_plan
-    if ctx.jac_scatter == "stream":
-        # comps ride two 8-row stream passes; source col e*16 + ab
-        # (comps 16/17 are the static identity diagonals, installed
-        # below): one transpose pass over the LHS output
-        src16 = (
-            out288.reshape(16, 18, ne)[:, :16]
-            .transpose(1, 2, 0)
-            .reshape(16, 16 * ne)
-        )
-        if backend == "xla":
-            lo = ws.stream_reduce_xla(ctx.jsc_plan, src16[:8])
-            hi = ws.stream_reduce_xla(ctx.jsc_plan, src16[8:])
-        else:
-            lo = ws.win_stream_reduce(
-                ctx.jsc_plan, ctx.jsc_idx, src16[:8], interpret=interpret
+    ekb = "xla" if backend == "xla" else "pallas"
+    if ctx.jac_scatter == "pull":
+        # element kernel + comp-major transpose in element CHUNKS written
+        # into a preallocated update table: the full (288, ne) kernel
+        # output plus its (ncs, 16*ne) transpose peak at ~2.6 GB live at
+        # 1.18M tets (measured RESOURCE_EXHAUSTED alongside the tier
+        # gathers on a 16 GB chip); chunking caps the transient at
+        # ~2*ncs*16*chunk floats while the table itself stays the only
+        # full-size buffer. Last column is the zero fill target.
+        ck = _JAC_EKERNEL_CHUNK
+        upd = jnp.zeros((ncs, 16 * ne + 1), jnp.float32)
+        for lo in range(0, ne, ck):
+            hi = min(ne, lo + ck)
+            outk = pk.lhs_rows_call(
+                inp[:, lo:hi], phys, scheme, backend=ekb,
+                interpret=interpret, scalar_implicit=scalar_implicit,
             )
-            hi = ws.win_stream_reduce(
-                ctx.jsc_plan, ctx.jsc_idx, src16[8:], interpret=interpret
+            blk = (
+                outk.reshape(16, 18, hi - lo)[:, :ncs]
+                .transpose(1, 2, 0)
+                .reshape(ncs, 16 * (hi - lo))
             )
-        ent16 = jnp.concatenate([lo, hi], axis=0)  # (16, S_w)
-    elif ctx.jac_scatter == "pull":
-        # comp-major update table (16c, ne*16 + 1): the flat (e, ab) id
-        # is the MINOR dim, so the TPU tiled layout pads nothing. (The
-        # row-major (ne*16, 16) variant tile-pads its 16-wide minor dim
-        # to 128 lanes - 8x the bytes, ~9.7 GB at 1.18M tets: measured
-        # RESOURCE_EXHAUSTED.) Last column is the zero fill target.
-        upd = (
-            out288.reshape(16, 18, ne)[:, :16]
-            .transpose(1, 2, 0)
-            .reshape(16, 16 * ne)
-        )
-        upd = jnp.pad(upd, ((0, 0), (0, 1)))
-        ent16 = jnp.zeros((16, plan.S), jnp.float32)
+            upd = jax.lax.dynamic_update_slice(upd, blk, (0, 16 * lo))
+        ent = jnp.zeros((ncs, plan.S), jnp.float32)
         for eidx, slots in ctx.pull_tiers:
             nt, pad = eidx.shape
-            got = upd[:, eidx.reshape(-1)].reshape(16, nt, pad)
-            ent16 = ent16.at[:, slots].set(got.sum(axis=2))
+            # chunk the per-tier row gathers too: the dominant tier's
+            # (ncs, nt*pad) temp is ~1.2 GB at 1.18M tets
+            rck = max(1, _JAC_GATHER_ELEMS // max(pad, 1))
+            for rlo in range(0, nt, rck):
+                rhi = min(nt, rlo + rck)
+                got = upd[:, eidx[rlo:rhi].reshape(-1)].reshape(
+                    ncs, rhi - rlo, pad
+                )
+                ent = ent.at[:, slots[rlo:rhi]].set(got.sum(axis=2))
+    elif ctx.jac_scatter == "stream":
+        out288 = pk.lhs_rows_call(
+            inp, phys, scheme, backend=ekb, interpret=interpret,
+            scalar_implicit=scalar_implicit,
+        )
+        # comps ride <=8-row stream passes; source col e*16 + ab:
+        # one transpose pass over the LHS output
+        src = (
+            out288.reshape(16, 18, ne)[:, :ncs]
+            .transpose(1, 2, 0)
+            .reshape(ncs, 16 * ne)
+        )
+        parts = []
+        for lo in range(0, ncs, 8):
+            rows = src[lo : lo + 8]
+            if backend == "xla":
+                parts.append(ws.stream_reduce_xla(ctx.jsc_plan, rows))
+            else:
+                parts.append(
+                    ws.win_stream_reduce(
+                        ctx.jsc_plan, ctx.jsc_idx, rows, interpret=interpret
+                    )
+                )
+        ent = jnp.concatenate(parts, axis=0)  # (ncs, S_w)
     else:
         # sorted segment-sum oracle (indices precomputed)
-        upd = out288.reshape(16, 18, ne)[:, :16]  # (16ab, 16c, ne)
-        flat = upd.transpose(2, 0, 1).reshape(ne * 16, 16)
+        out288 = pk.lhs_rows_call(
+            inp, phys, scheme, backend=ekb, interpret=interpret,
+            scalar_implicit=scalar_implicit,
+        )
+        upd = out288.reshape(16, 18, ne)[:, :ncs]  # (16ab, c, ne)
+        flat = upd.transpose(2, 0, 1).reshape(ne * 16, ncs)
         flat = flat[ctx.upd_perm]
         summed = jax.ops.segment_sum(
             flat, ctx.upd_tgt, num_segments=plan.S,
             indices_are_sorted=True,
-        )  # (S, 16)
-        ent16 = summed.T
-    # WinELL component order: fsbsr comps 0..15 -> COMP2WIN rows
+        )  # (S, ncs)
+        ent = summed.T
+    # weak-BC facet blocks: compact unique-entry segment-sum, O(boundary)
+    for fctx in face_ctxs:
+        if fctx.win_uniq is None:
+            raise ValueError(
+                "face context lacks a WinELL scatter plan - call "
+                "fem.win_assembly.attach_face_win_plans at solver setup"
+            )
+        from dedflow_tpu.fem.face import face_lhs_packed
+
+        fupd = face_lhs_packed(
+            fctx, w_alpha.astype(f32), dw_alpha.astype(f32), phys, scheme
+        )  # (nf*16, 18) fsbsr comp order; comps 15..17 are zero
+        compact = jax.ops.segment_sum(
+            fupd[fctx.win_perm, :ncs],
+            fctx.win_seg,
+            num_segments=fctx.win_num_uniq,
+            indices_are_sorted=True,
+        )  # (nu, ncs)
+        ent = ent.at[:, fctx.win_uniq].add(compact.T)
+    # WinELL component order: fsbsr comps 0..ncs-1 -> COMP2WIN rows
     vals = jnp.zeros((we.WIN_ROWS, plan.S), jnp.float32)
-    vals = vals.at[jnp.asarray(we.COMP2WIN[:16]), :].set(ent16)
-    vals = vals.at[16:18, :].set(ctx.mult_win)
+    vals = vals.at[jnp.asarray(we.COMP2WIN[:ncs]), :].set(ent)
+    if not scalar_implicit:
+        vals = vals.at[16:18, :].set(ctx.mult_win)
     return we.winell_matrix(plan, vals, backend=backend)

