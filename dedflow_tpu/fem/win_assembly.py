@@ -214,7 +214,23 @@ def build_win_context(
         jsrc = np.arange(16 * ne, dtype=np.int64)
         jsc_plan = ws.build_stream_plan(jtgt, jsrc, win_plan.S, 16 * ne)
         jsc_idx = ws.stream_index_rows(jsc_plan)
-    elif jac_scatter == "pull":
+    elif jac_scatter == "ring":
+        # chunk-major ring-accumulated scatter (sparse.win_ring): the
+        # slab-stream plan cannot carry the matrix scatter (column-sorted
+        # entry packs draw from ~900k-column source spans; see the
+        # win_ring module docstring)
+        from dedflow_tpu.sparse import win_ring as wr
+
+        jtgt = entry_tgt.reshape(-1)
+        jsrc = np.arange(16 * ne, dtype=np.int64)
+        try:
+            jsc_plan = wr.build_ring_plan(jtgt, jsrc, win_plan.S, 16 * ne)
+            jsc_idx = wr.ring_index_rows(jsc_plan)
+        except ValueError:
+            # plan exceeds a packed-word / SMEM budget (very large or
+            # badly-ordered mesh): fall back to the pull path
+            jac_scatter = "pull"
+    if jac_scatter == "pull":
         # per-ENTRY pull: each WinELL entry gathers its incident
         # contribution rows (mean 6.6 on Delaunay) from the flat
         # (ne*16, 16) update array, padded in degree tiers. Converts the
@@ -252,7 +268,7 @@ def build_win_context(
                  jnp.asarray(sel.astype(np.int32)))
             )
         pull_tiers = tuple(tiers)
-    else:
+    elif jac_scatter not in ("stream", "ring"):
         flat_tgt = entry_tgt.reshape(-1)
         perm = np.argsort(flat_tgt, kind="stable")
         upd_perm = jnp.asarray(perm.astype(np.int32))
@@ -474,6 +490,38 @@ def jacobian_win(
                     ncs, rhi - rlo, pad
                 )
                 ent = ent.at[:, slots[rlo:rhi]].set(got.sum(axis=2))
+    elif ctx.jac_scatter == "ring":
+        # chunk-major ring scatter (sparse.win_ring): build the comp-major
+        # update table in element chunks (same transient cap as the pull
+        # path), then <=8-row ring-reduce passes
+        from dedflow_tpu.sparse import win_ring as wr
+
+        ck = _JAC_EKERNEL_CHUNK
+        upd = jnp.zeros((ncs, 16 * ne), jnp.float32)
+        for lo in range(0, ne, ck):
+            hi = min(ne, lo + ck)
+            outk = pk.lhs_rows_call(
+                inp[:, lo:hi], phys, scheme, backend=ekb,
+                interpret=interpret, scalar_implicit=scalar_implicit,
+            )
+            blk = (
+                outk.reshape(16, 18, hi - lo)[:, :ncs]
+                .transpose(1, 2, 0)
+                .reshape(ncs, 16 * (hi - lo))
+            )
+            upd = jax.lax.dynamic_update_slice(upd, blk, (0, 16 * lo))
+        parts = []
+        for lo in range(0, ncs, 8):
+            rows = upd[lo : lo + 8]
+            if backend == "xla":
+                parts.append(wr.ring_reduce_xla(ctx.jsc_plan, rows))
+            else:
+                parts.append(
+                    wr.win_ring_reduce(
+                        ctx.jsc_plan, ctx.jsc_idx, rows, interpret=interpret
+                    )
+                )
+        ent = jnp.concatenate(parts, axis=0)  # (ncs, S_w)
     elif ctx.jac_scatter == "stream":
         out288 = pk.lhs_rows_call(
             inp, phys, scheme, backend=ekb, interpret=interpret,

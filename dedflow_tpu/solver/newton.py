@@ -625,6 +625,19 @@ class NSSolver:
                     # reach it (VERDICT r4 missing #4)
                     with_amg=(getattr(cfg.krylov, "pc", "fieldsplit") == "mg"),
                 )
+                # two gates: (a) absolute gather-window cost of the built
+                # plans (protects VMEM/time at large scale), and (b) a
+                # scale-free node-ordering check — median element node-index
+                # span relative to num_node. A locality-preserving order
+                # (RCM, mesh.reorder) sits at ~0.1-0.25 and shrinks with
+                # size (bandwidth ~ n^(2/3)); a random order is ~0.6 at ANY
+                # size, where the windowed kernels degrade below the gather
+                # floor. The window stats alone cannot see this on small
+                # meshes (every plan column-sorts internally).
+                ien_np = np.asarray(mesh.ien)
+                span_ratio = float(
+                    np.median(ien_np.max(axis=1) - ien_np.min(axis=1))
+                ) / max(mesh.num_node, 1)
                 stats_ok = (
                     float(
                         np.mean(
@@ -634,7 +647,7 @@ class NSSolver:
                         )
                     )
                     < 8.0
-                )
+                ) and span_ratio < 0.4
                 if mode == "winell" or stats_ok:
                     self.wctx = wctx
             except Exception:  # noqa: BLE001 - planning is best-effort

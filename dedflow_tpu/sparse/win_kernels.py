@@ -39,7 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 # rows 18/19 of the (24, S) vals array hold ecol/erow as int32 bits
 ECOL_ROW = 18
 EROW_ROW = 19
-SP = 2048  # superpack rows (must match winell.SP)
+SP = 1024  # superpack rows (must match winell.SP; see winell.py note)
 HB = SP // 128  # row-blocks per superpack
 
 # Tests flip this to run through the interpreter on CPU.

@@ -67,7 +67,11 @@ COMP2WIN[fs.PHIPHI] = 16
 COMP2WIN[fs.TT] = 17
 
 
-SP = 2048  # superpack rows (must match win_kernels)
+# superpack rows (must match win_kernels). 1024 (not 2048) halves the
+# matvec's one-hot P-stack (8 comps x HB row-blocks x 2 hi/lo rows =
+# 128 = exactly one MXU tile): the reduction was the kernel's measured
+# bottleneck at SP=2048 (256 MXU cycles per 128-entry vreg).
+SP = 1024
 
 
 @dataclass(frozen=True, eq=False)

@@ -186,9 +186,18 @@ def main() -> None:
         note=(
             "collective bytes from the compiled sharded step's optimized "
             "HLO on the 8-virtual-device CPU mesh (sizes are exact; only "
-            "timing would differ on real ICI). all-gather/all-to-all "
-            "should stay ~0: the design moves boundary bands with "
-            "collective-permute and scalars with all-reduce."
+            "timing would differ on real ICI). "
+            + (
+                "irregular tier: the degree-tiered gather assembly and "
+                "SpMV all-gather the shared node state (no static slab "
+                "halo exists on an RCB-partitioned unstructured mesh); "
+                "scalars ride all-reduce. The lattice tier's "
+                "collective-permute halo profile is MULTICHIP_PERF.json."
+                if irregular
+                else "all-gather/all-to-all should stay ~0: the design "
+                "moves boundary bands with collective-permute and "
+                "scalars with all-reduce."
+            )
         ),
     )
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
