@@ -201,7 +201,7 @@ class SolverConfig:
     lattice_backend: str | None = None
     # WinELL Jacobian scatter variant: "pull" (degree-tiered per-entry
     # row gathers) or "segment"/"stream" (diagnostics)
-    win_jac_scatter: str = "pull"
+    win_jac_scatter: str = "ring"
 
 
 def reference_bcs() -> tuple[BCSpec, ...]:
@@ -272,6 +272,6 @@ def load_config(path: str) -> SolverConfig:
         elements_kernel=d.get("elements_kernel", "xla"),
         pin_pressure=d.get("pin_pressure", False),
         use_lattice=d.get("use_lattice", "auto"),
-        win_jac_scatter=d.get("win_jac_scatter", "pull"),
+        win_jac_scatter=d.get("win_jac_scatter", "ring"),
         lattice_backend=d.get("lattice_backend"),
     )

@@ -510,9 +510,11 @@ def jacobian_win(
                 .reshape(ncs, 16 * (hi - lo))
             )
             upd = jax.lax.dynamic_update_slice(upd, blk, (0, 16 * lo))
+        # comps ride ONE <=16-row ring pass (r5; implicit scalars add a
+        # second 2-row pass for comps 16/17)
         parts = []
-        for lo in range(0, ncs, 8):
-            rows = upd[lo : lo + 8]
+        for lo in range(0, ncs, 16):
+            rows = upd[lo : lo + 16]
             if backend == "xla":
                 parts.append(wr.ring_reduce_xla(ctx.jsc_plan, rows))
             else:

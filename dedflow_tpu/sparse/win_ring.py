@@ -47,8 +47,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-SP = 2048  # targets per pack (matches winell.SP / win_stream.SP)
-HB = SP // 128
+SP = 1024  # targets per pack (r5: 2048 -> 1024 halves the one-hot
+# P-stack per quad; with the 16-row single-pass kernel the matmul work
+# per quad matches the old 8-row/SP=2048 shape at HALF the quad count)
 
 # flag bits (per cell)
 F_FIRST_OF_PACK = 1
@@ -71,6 +72,7 @@ class RingPlan:
     num_cell: int
     S: int  # padded slot count (512-multiple per cell)
     src_size: int
+    sp: int  # targets per pack
     chunk: int  # source columns per streamed slab
     num_ring: int  # ring slots (max live packs + margin)
     ecol: np.ndarray  # (S,) int32 chunk-relative source col
@@ -83,7 +85,8 @@ class RingPlan:
     # cell_b = pack | ring << 22
     cell_a: np.ndarray  # (num_cell,) int32
     cell_b: np.ndarray  # (num_cell,) int32
-    vwin: np.ndarray  # (S//512,) int32 (wlo << 10 | nwin) chunk-relative, per QUAD
+    vwin: np.ndarray  # (S//512,) int32 trip count of the hop list, per QUAD
+    hops: np.ndarray  # (S//512, 128) int32 distinct chunk-relative windows
     vmax: int  # max vregs per cell (static idx DMA size)
 
     @property
@@ -117,7 +120,7 @@ def build_ring_plan(
     src: np.ndarray,
     num_tgt: int,
     src_size: int,
-    chunk: int = 1 << 16,
+    chunk: int = 1 << 17,
     sp: int = SP,
     ring_margin: int = 8,
 ) -> RingPlan:
@@ -235,16 +238,35 @@ def build_ring_plan(
     for i in range(ncell - 2, -1, -1):
         nxt[i] = cchunk[i + 1] if cchunk[i + 1] != cchunk[i] else nxt[i + 1]
 
-    # per-QUAD 512-lane window schedule (chunk-relative; the +512 slack
-    # keeps the 4-tile gather table inside the padded buffer). Per-quad
-    # (not per-vreg) so the schedule fits SMEM at bench scale AND the
-    # four vregs of a quad share each window's gather table; the in-vreg
-    # w8 == w mask already skips windows a given vreg doesn't touch.
-    w = (ecol >> 9).reshape(-1, 512)
-    wlo = w.min(axis=1).astype(np.int64)
-    nwin = (w.max(axis=1) - wlo + 1).astype(np.int64)
-    assert int(nwin.max() if nwin.size else 0) < 1024
-    vwin = ((wlo << 10) | nwin).astype(np.int32)
+    # per-QUAD window HOP LIST (chunk-relative 512-col window ids; the
+    # +512 slack keeps the 4-tile gather table inside the padded
+    # buffer). r4 iterated the DENSE range [wlo, wlo+span) - measured
+    # span mean 23.5 vs 10.0 DISTINCT windows per quad on the 287k-tet
+    # bench mesh (slots cluster, they are not uniform), so the r5 loop
+    # visits an explicit list of the touched windows only. The list
+    # rides idx row 2 (lanes qd*512+k, k < 128 - distinct counts are
+    # bounded by the 128 slots of a vreg times clustering; measured max
+    # 65); vwin keeps only the trip count. The four vregs of a quad
+    # still share each window's gather table.
+    w = (ecol >> 9).reshape(-1, 512)  # non-decreasing per quad (src sort)
+    chg = np.diff(w, axis=1) != 0
+    ndist = chg.sum(axis=1).astype(np.int64) + 1
+    if int(ndist.max() if ndist.size else 0) > 128:
+        raise ValueError(
+            f"ring plan quad touches {int(ndist.max())} > 128 distinct "
+            "gather windows; use a coarser chunk or the pull path"
+        )
+    nq = w.shape[0]
+    hops = np.repeat(w[:, -1:], 128, axis=1)
+    if nq:
+        hops[:, 0] = w[:, 0]
+        rows_c, cols_c = np.nonzero(chg)  # row-major, cols ascending
+        cnt = chg.sum(axis=1)
+        kpos = np.arange(rows_c.size) - np.repeat(
+            np.concatenate([[0], np.cumsum(cnt)[:-1]]), cnt
+        )
+        hops[rows_c, kpos + 1] = w[rows_c, cols_c + 1]
+    vwin = ndist.astype(np.int32)
     voff_np = np.asarray(voff, dtype=np.int64)
     vmax = int(np.diff(voff_np).max()) if ncell else 0
 
@@ -271,6 +293,7 @@ def build_ring_plan(
     return RingPlan(
         num_tgt=num_tgt,
         num_pack=npk,
+        sp=sp,
         num_cell=ncell,
         S=S,
         src_size=src_size,
@@ -284,12 +307,13 @@ def build_ring_plan(
         cell_a=cell_a,
         cell_b=cell_b,
         vwin=vwin,
+        hops=hops.astype(np.int32),
         vmax=max(vmax, 1),
     )
 
 
 def ring_plan_stats(plan: RingPlan) -> dict:
-    nwin = plan.vwin & 1023
+    nwin = plan.vwin
     return dict(
         S=plan.S,
         cells=plan.num_cell,
@@ -303,11 +327,24 @@ def ring_plan_stats(plan: RingPlan) -> dict:
 
 
 def ring_index_rows(plan: RingPlan) -> jnp.ndarray:
-    """(2, S) int32 device rows: row 0 = ecol, row 1 = erow | live<<15."""
+    """(2, S) int32 device rows: row 0 = ecol, row 1 = erow | live<<15.
+    The per-quad hop lists travel separately (ring_hop_rows) and are
+    DMA'd to SMEM so the window loop reads them as native scalars."""
     packed = plan.erow.astype(np.int32) | (
         plan.elive.astype(np.int32) << 15
     )
     return jnp.asarray(np.stack([plan.ecol, packed]).astype(np.int32))
+
+
+def ring_hop_rows(plan: RingPlan) -> jnp.ndarray:
+    """(num_quad + vmax//4, 128) int32: row q = quad q's distinct-window
+    hop list (padded by repeating; tail rows pad the per-cell DMA)."""
+    pad = max(plan.vmax // 4, 1)
+    return jnp.asarray(
+        np.concatenate(
+            [plan.hops, np.zeros((pad, 128), plan.hops.dtype)]
+        ).astype(np.int32)
+    )
 
 
 def _bf16_split(a):
@@ -320,11 +357,13 @@ def _ring_kernel(
     # scalar prefetch
     voff_ref, vwin_ref, ca_ref, cb_ref,
     # inputs
-    idx_hbm, x_hbm, o_hbm,
+    idx_hbm, hop_hbm, x_hbm, o_hbm,
     # scratch
-    xbuf, ibuf, acc, sbuf, sem_x, sem_i, sem_o,
-    *, vmax, C, scale, chunkw,
+    xbuf, ibuf, hbuf, acc, sbuf, sem_x, sem_i, sem_h, sem_o,
+    *, vmax, C, R, HB, SPK, scale, chunkw,
 ):
+    """R = source value rows carried per pass (8 or 16; C <= R real),
+    HB = SPK // 128 row-blocks per pack accumulator."""
     i = pl.program_id(0)
     ni = pl.num_programs(0)
     ca = ca_ref[i]
@@ -348,10 +387,20 @@ def _ring_kernel(
             sem_i.at[slot],
         )
 
+    vmaxq = max(vmax // 4, 1)
+
+    def hop_copy(step, slot):
+        return pltpu.make_async_copy(
+            hop_hbm.at[pl.ds(voff_ref[step] // 4, vmaxq), :],
+            hbuf.at[slot],
+            sem_h.at[slot],
+        )
+
     @pl.when(i == 0)
     def _():
         chunk_copy(ca_ref[0] & 0xFFF, 0).start()
         idx_copy(0, 0).start()
+        hop_copy(0, 0).start()
 
     # prefetch the NEXT chunk as soon as this chunk starts (the rest of
     # the chunk's cells overlap the copy)
@@ -366,24 +415,27 @@ def _ring_kernel(
     @pl.when(i + 1 < ni)
     def _():
         idx_copy(i + 1, (i + 1) % 2).start()
+        hop_copy(i + 1, (i + 1) % 2).start()
 
     @pl.when(flags & F_FIRST_OF_CHUNK != 0)
     def _():
         chunk_copy(cchunk, parity).wait()
 
     idx_copy(i, i % 2).wait()
+    hop_copy(i, i % 2).wait()
     xb = xbuf.at[parity]
     ib = ibuf.at[i % 2]
+    hb_s = hbuf.at[i % 2]
     base = voff_ref[i]
 
     lo_iota = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
 
     def quad_body(qd, cacc):
-        # one window schedule per QUAD: the four vregs share each
-        # window's gather table (SMEM budget + table-load amortization)
-        sched = vwin_ref[base // 4 + qd]
-        wlo = sched >> 10
-        nwin = sched & 1023
+        # one window HOP LIST per QUAD (idx row 2, lanes qd*512+k): the
+        # loop visits only the distinct windows the quad touches
+        # (measured: 10.0 distinct vs 23.5 in the r4 dense-range span);
+        # the four vregs share each window's gather table
+        nwin = vwin_ref[base // 4 + qd]
         meta = []
         for d in range(4):
             off = pl.multiple_of((qd * 4 + d) * 128, 128)
@@ -391,48 +443,48 @@ def _ring_kernel(
             epak = ib[1:2, pl.ds(off, 128)]
             erow = epak & 0x7FFF
             live = (epak >> 15) & 1
-            m32 = jnp.broadcast_to(ecol & 127, (32, 128))
-            par8 = jnp.broadcast_to((ecol >> 7) & 3, (8, 128))
-            w8 = jnp.broadcast_to(ecol >> 9, (8, 128))
-            meta.append((m32, par8, w8, erow, live))
+            m4r = jnp.broadcast_to(ecol & 127, (4 * R, 128))
+            parr = jnp.broadcast_to((ecol >> 7) & 3, (R, 128))
+            wr = jnp.broadcast_to(ecol >> 9, (R, 128))
+            meta.append((m4r, parr, wr, erow, live))
 
         def win_body(t, gs):
-            w = wlo + t
+            w = hb_s[qd, t]  # native SMEM scalar load
             woff = pl.multiple_of(w * 512, 128)
             tbl = jnp.concatenate(
                 [xb[:, pl.ds(woff + 128 * k, 128)] for k in range(4)],
                 axis=0,
-            )
+            )  # (4R, 128)
             new = []
             for d in range(4):
-                m32, par8, w8, _, _ = meta[d]
-                got = jnp.take_along_axis(tbl, m32, axis=-1)
-                inw = w8 == w
+                m4r, parr, wr, _, _ = meta[d]
+                got = jnp.take_along_axis(tbl, m4r, axis=-1)
+                inw = wr == w
                 g = gs[d]
                 for k in range(4):
                     g = jnp.where(
-                        inw & (par8 == k), got[8 * k : 8 * k + 8], g
+                        inw & (parr == k), got[R * k : R * k + R], g
                     )
                 new.append(g)
             return tuple(new)
 
-        z8 = jnp.zeros((8, 128), jnp.float32)
-        gs = win_body(0, (z8, z8, z8, z8))
+        zR = jnp.zeros((R, 128), jnp.float32)
+        gs = win_body(0, (zR, zR, zR, zR))
         gs = jax.lax.fori_loop(1, nwin, win_body, gs)
 
         phs, pls, ohs = [], [], []
-        zb = jnp.zeros((8, 128), jnp.bfloat16)
+        zb = jnp.zeros((R, 128), jnp.bfloat16)
         for d in range(4):
             _, _, _, erow, live = meta[d]
-            g = jnp.where(jnp.broadcast_to(live, (8, 128)) == 1, gs[d], 0.0)
-            p8h, p8l = _bf16_split(g)
-            hi8 = jnp.broadcast_to(erow >> 7, (8, 128))
-            masks = [hi8 == h for h in range(HB)]
+            g = jnp.where(jnp.broadcast_to(live, (R, 128)) == 1, gs[d], 0.0)
+            pRh, pRl = _bf16_split(g)
+            hiR = jnp.broadcast_to(erow >> 7, (R, 128))
+            masks = [hiR == h for h in range(HB)]
             phs.append(
-                jnp.concatenate([jnp.where(m, p8h, zb) for m in masks], axis=0)
+                jnp.concatenate([jnp.where(m, pRh, zb) for m in masks], axis=0)
             )
             pls.append(
-                jnp.concatenate([jnp.where(m, p8l, zb) for m in masks], axis=0)
+                jnp.concatenate([jnp.where(m, pRl, zb) for m in masks], axis=0)
             )
             ohs.append(
                 (
@@ -442,17 +494,17 @@ def _ring_kernel(
         P = jnp.concatenate(
             [jnp.concatenate(phs, axis=1), jnp.concatenate(pls, axis=1)],
             axis=0,
-        )
-        OH = jnp.concatenate(ohs, axis=1)
+        )  # (2*R*HB, 512)
+        OH = jnp.concatenate(ohs, axis=1)  # (128, 512)
         out = jax.lax.dot_general(
             P, OH, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        return cacc + out[: 8 * HB] + out[8 * HB :]
+        return cacc + out[: R * HB] + out[R * HB :]
 
     nquads = (voff_ref[i + 1] - voff_ref[i]) // 4
     cacc = jax.lax.fori_loop(
-        0, nquads, quad_body, jnp.zeros((8 * HB, 128), jnp.float32)
+        0, nquads, quad_body, jnp.zeros((R * HB, 128), jnp.float32)
     )
 
     r = cb >> 22
@@ -470,14 +522,14 @@ def _ring_kernel(
         a = acc[r]
         for h in range(HB):
             for c in range(C):
-                sbuf[c, h * 128 : (h + 1) * 128] = a[h * 8 + c, :] * scale
-            for c in range(C, 8):
+                sbuf[c, h * 128 : (h + 1) * 128] = a[h * R + c, :] * scale
+            for c in range(C, R):
                 sbuf[c, h * 128 : (h + 1) * 128] = jnp.zeros(
                     (128,), jnp.float32
                 )
         cp = pltpu.make_async_copy(
             sbuf,
-            o_hbm.at[:, pl.ds((cb & 0x3FFFFF) * SP, SP)],
+            o_hbm.at[:, pl.ds((cb & 0x3FFFFF) * SPK, SPK)],
             sem_o,
         )
         cp.start()
@@ -491,20 +543,27 @@ def win_ring_reduce(
     scale: float = 1.0,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
-    """y[c, t] = scale * sum_{s: tgt(s)=t} x[c, src(s)] -> (C, num_tgt)."""
+    """y[c, t] = scale * sum_{s: tgt(s)=t} x[c, src(s)] -> (C, num_tgt).
+
+    C <= 16: all component rows ride ONE pass (r5; the r4 kernel was
+    C <= 8, so the 16/18-component Jacobian scatter paid the per-cell
+    DMA, metadata, and gather-window costs twice)."""
     if interpret is None:
         interpret = INTERPRET
     C, n_src = x.shape
-    assert C <= 8
+    assert C <= 16
+    R = 8 if C <= 8 else 16
+    HB = plan.sp // 128
     vmax, cw = plan.vmax, plan.chunk
     nchunks_cov = -(-n_src // cw)
-    x8 = jnp.zeros((8, n_src), jnp.float32).at[:C].set(x.astype(jnp.float32))
+    xr = jnp.zeros((R, n_src), jnp.float32).at[:C].set(x.astype(jnp.float32))
     # pad so the last chunk's slab and its +512 window slack are in-bounds
-    x8 = jnp.pad(x8, ((0, 0), (0, nchunks_cov * cw - n_src + cw + 512)))
+    xr = jnp.pad(xr, ((0, 0), (0, nchunks_cov * cw - n_src + cw + 512)))
     idx_rows = jnp.pad(idx_rows, ((0, 0), (0, vmax * 128)))
 
     kern = functools.partial(
-        _ring_kernel, vmax=vmax, C=C, scale=float(scale), chunkw=cw
+        _ring_kernel, vmax=vmax, C=C, R=R, HB=HB, SPK=plan.sp,
+        scale=float(scale), chunkw=cw,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -512,13 +571,16 @@ def win_ring_reduce(
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, 8, cw + 512), jnp.float32),
+            pltpu.VMEM((2, R, cw + 512), jnp.float32),
             pltpu.VMEM((2, 2, vmax * 128), jnp.int32),
-            pltpu.VMEM((plan.num_ring, 8 * HB, 128), jnp.float32),
-            pltpu.VMEM((8, SP), jnp.float32),
+            pltpu.SMEM((2, max(vmax // 4, 1), 128), jnp.int32),
+            pltpu.VMEM((plan.num_ring, R * HB, 128), jnp.float32),
+            pltpu.VMEM((R, plan.sp), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA(()),
@@ -526,7 +588,9 @@ def win_ring_reduce(
     )
     out = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((8, plan.num_pack * SP), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (R, plan.num_pack * plan.sp), jnp.float32
+        ),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024
@@ -538,7 +602,8 @@ def win_ring_reduce(
         jnp.asarray(plan.cell_a),
         jnp.asarray(plan.cell_b),
         idx_rows,
-        x8,
+        ring_hop_rows(plan),
+        xr,
     )
     return out[:C, : plan.num_tgt]
 
@@ -556,13 +621,13 @@ def ring_reduce_xla(
             plan.cell_pack.astype(np.int64),
             np.diff(plan.cell_voff.astype(np.int64)) * 128,
         )
-        * SP
+        * plan.sp
     )
     live = jnp.asarray(plan.elive)
     vals = x[:, jnp.asarray(np.clip(src, 0, x.shape[1] - 1))]
     vals = jnp.where(live[None, :], vals, 0.0)
     y = jax.ops.segment_sum(
         vals.T, jnp.asarray(tgt.astype(np.int32)),
-        num_segments=plan.num_pack * SP,
+        num_segments=plan.num_pack * plan.sp,
     )
     return scale * y[: plan.num_tgt].T.astype(x.dtype)
