@@ -97,15 +97,16 @@ def _rep_b(x):
 
 
 def _lhs_kernel(inp_ref, out_ref, *, rho, mu, f1, f2, dt, cp=1.0,
-                kappa=1.0, scalar_implicit=False):
+                kappa=1.0, scalar_implicit=False, comp_major=False):
     out_ref[:, :] = _lhs_rows(
         inp_ref[:, :], rho=rho, mu=mu, f1=f1, f2=f2, dt=dt, cp=cp,
         kappa=kappa, scalar_implicit=scalar_implicit,
+        comp_major=comp_major,
     )
 
 
 def _lhs_rows(inp, *, rho, mu, f1, f2, dt, ncomp=18, cp=1.0, kappa=1.0,
-              scalar_implicit=False):
+              scalar_implicit=False, comp_major=False):
     """Pure (27, E) -> (16*ncomp, E) element-Jacobian body, shared by the
     Pallas kernel (TPU) and the plain-XLA lattice fallback (CPU / f64).
 
@@ -222,7 +223,12 @@ def _lhs_rows(inp, *, rho, mu, f1, f2, dt, ncomp=18, cp=1.0, kappa=1.0,
         comps[16] = jnp.broadcast_to(ident, e_k.shape)
         comps[17] = comps[16]
 
-    stacked = jnp.stack(comps, axis=1)  # (16, ncomp, E)
+    # comp_major emits rows c*16 + ab (the windowed Jacobian path's
+    # G-blocked update table is then a pure VIEW of the kernel output -
+    # the r4 ab-major rows forced an XLA lane-interleaving relayout that
+    # measured 19 ms at 287k tets); default ab-major rows ab*ncomp + c.
+    axis = 0 if comp_major else 1
+    stacked = jnp.stack(comps, axis=axis)  # (16, ncomp, E)|(ncomp, 16, E)
     # collapse the two MAJOR dims (free); any lane-major transpose to
     # (E, 288) happens outside in XLA (Mosaic cannot shape-cast across
     # the lane dim)
@@ -580,10 +586,12 @@ def lhs_rows_call(
     backend: str = "pallas",
     interpret: bool = False,
     scalar_implicit: bool = False,
+    comp_major: bool = False,
 ) -> jnp.ndarray:
     """(27, M) packed element-Jacobian inputs -> (288, M) packed outputs.
     scalar_implicit consumes 33 rows (+6 metric) and emits the implicit
-    phi/T transport tangents in comps 16/17 (melt-pool runs)."""
+    phi/T transport tangents in comps 16/17 (melt-pool runs).
+    comp_major: rows c*16+ab instead of ab*18+c (see _lhs_rows)."""
     args = dict(
         rho=float(phys.rho),
         mu=float(phys.mu),
@@ -593,6 +601,7 @@ def lhs_rows_call(
         cp=float(phys.cp),
         kappa=float(phys.kappa),
         scalar_implicit=scalar_implicit,
+        comp_major=comp_major,
     )
     if backend == "xla":
         body = functools.partial(_lhs_rows, **args)

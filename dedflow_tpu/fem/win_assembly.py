@@ -78,6 +78,17 @@ _JAC_ROWMAP = tuple(
 _JAC_EKERNEL_CHUNK = 1 << 18
 _JAC_GATHER_ELEMS = 1 << 23
 
+# ring-path update-table element-block size: source column
+# blk(e)*16G + ab*G + (e % G). The r4 e-major layout (col = e*16 + ab)
+# needed a (16, 18, ne) -> (18, 16*ne) lane-interleaving transpose that
+# measured 19 ms at 287k tets - as much as the whole ring reduce; the
+# G-blocked layout builds from the element-kernel output with a row
+# permute + an OUTER-axes transpose (contiguous 16G inner dim, near
+# bandwidth). Cost: gather windows per quad 10.0 -> 15.0 (sources
+# fragment into 16 ab-runs per block) - measured net win. G*16 must not
+# exceed the ring chunk (sparse.win_ring, 128k cols).
+_JAC_GBLK = 8192
+
 
 
 
@@ -218,13 +229,20 @@ def build_win_context(
         # chunk-major ring-accumulated scatter (sparse.win_ring): the
         # slab-stream plan cannot carry the matrix scatter (column-sorted
         # entry packs draw from ~900k-column source spans; see the
-        # win_ring module docstring)
+        # win_ring module docstring). Sources live in the G-blocked
+        # update-table layout (_JAC_GBLK).
         from dedflow_tpu.sparse import win_ring as wr
 
         jtgt = entry_tgt.reshape(-1)
-        jsrc = np.arange(16 * ne, dtype=np.int64)
+        gblk = _JAC_GBLK
+        ne_pad = -(-ne // gblk) * gblk
+        ee = np.repeat(np.arange(ne, dtype=np.int64), 16)
+        ab = np.tile(np.arange(16, dtype=np.int64), ne)
+        jsrc = (ee // gblk) * 16 * gblk + ab * gblk + (ee % gblk)
         try:
-            jsc_plan = wr.build_ring_plan(jtgt, jsrc, win_plan.S, 16 * ne)
+            jsc_plan = wr.build_ring_plan(
+                jtgt, jsrc, win_plan.S, 16 * ne_pad
+            )
             jsc_idx = wr.ring_index_rows(jsc_plan)
         except ValueError:
             # plan exceeds a packed-word / SMEM budget (very large or
@@ -491,36 +509,48 @@ def jacobian_win(
                 )
                 ent = ent.at[:, slots[rlo:rhi]].set(got.sum(axis=2))
     elif ctx.jac_scatter == "ring":
-        # chunk-major ring scatter (sparse.win_ring): build the comp-major
-        # update table in element chunks (same transient cap as the pull
-        # path), then <=8-row ring-reduce passes
+        # chunk-major ring scatter (sparse.win_ring). The update table
+        # uses the G-blocked layout (_JAC_GBLK): per G-element block the
+        # element-kernel output needs only a static ROW permute + an
+        # outer-axes transpose (contiguous 16G inner dim) - the r4
+        # e-major layout's (16, 18, ne) -> (18, 16ne) lane interleave
+        # measured 19 ms at 287k tets, as much as the ring reduce.
         from dedflow_tpu.sparse import win_ring as wr
 
-        ck = _JAC_EKERNEL_CHUNK
-        upd = jnp.zeros((ncs, 16 * ne), jnp.float32)
-        for lo in range(0, ne, ck):
-            hi = min(ne, lo + ck)
-            outk = pk.lhs_rows_call(
-                inp[:, lo:hi], phys, scheme, backend=ekb,
-                interpret=interpret, scalar_implicit=scalar_implicit,
+        gblk = _JAC_GBLK
+        ne_pad = -(-ne // gblk) * gblk
+        nblk = ne_pad // gblk
+        # edge-replicate pad columns: zero geometry would emit NaNs
+        inp_pad = (
+            jnp.pad(inp, ((0, 0), (0, ne_pad - ne)), mode="edge")
+            if ne_pad != ne
+            else inp
+        )
+        xs = inp_pad.reshape(inp.shape[0], nblk, gblk).transpose(1, 0, 2)
+
+        def blk_kernel(x):
+            # comp_major: rows c*16+ab, so the ring's (nblk, C, 16G)
+            # chunk-blocked source below is a pure VIEW of the output
+            return pk.lhs_rows_call(
+                x, phys, scheme, backend=ekb, interpret=interpret,
+                scalar_implicit=scalar_implicit, comp_major=True,
             )
-            blk = (
-                outk.reshape(16, 18, hi - lo)[:, :ncs]
-                .transpose(1, 2, 0)
-                .reshape(ncs, 16 * (hi - lo))
-            )
-            upd = jax.lax.dynamic_update_slice(upd, blk, (0, 16 * lo))
-        # comps ride ONE <=16-row ring pass (r5; implicit scalars add a
-        # second 2-row pass for comps 16/17)
+
+        outs = jax.lax.map(blk_kernel, xs)  # (nblk, 288, G) rows c*16+ab
+        # comps ride ONE <=16-row ring pass (+ a 2-row pass for the
+        # implicit phi/T tangents); each slice is a contiguous view
         parts = []
         for lo in range(0, ncs, 16):
-            rows = upd[lo : lo + 16]
+            hi = min(ncs, lo + 16)
+            x3d = outs[:, 16 * lo : 16 * hi, :].reshape(
+                nblk, hi - lo, 16 * gblk
+            )
             if backend == "xla":
-                parts.append(wr.ring_reduce_xla(ctx.jsc_plan, rows))
+                parts.append(wr.ring_reduce_xla(ctx.jsc_plan, x3d))
             else:
                 parts.append(
                     wr.win_ring_reduce(
-                        ctx.jsc_plan, ctx.jsc_idx, rows, interpret=interpret
+                        ctx.jsc_plan, ctx.jsc_idx, x3d, interpret=interpret
                     )
                 )
         ent = jnp.concatenate(parts, axis=0)  # (ncs, S_w)

@@ -360,7 +360,7 @@ def _ring_kernel(
     idx_hbm, hop_hbm, x_hbm, o_hbm,
     # scratch
     xbuf, ibuf, hbuf, acc, sbuf, sem_x, sem_i, sem_h, sem_o,
-    *, vmax, C, R, HB, SPK, scale, chunkw,
+    *, vmax, C, R, HB, SPK, scale, chunkw, blocked=False,
 ):
     """R = source value rows carried per pass (8 or 16; C <= R real),
     HB = SPK // 128 row-blocks per pack accumulator."""
@@ -374,6 +374,10 @@ def _ring_kernel(
     cb = cb_ref[i]
 
     def chunk_copy(cid, slot):
+        if blocked:  # (nchunk, R, chunkw) pre-blocked source
+            return pltpu.make_async_copy(
+                x_hbm.at[cid], xbuf.at[slot], sem_x.at[slot]
+            )
         return pltpu.make_async_copy(
             x_hbm.at[:, pl.ds(cid * chunkw, chunkw + 512)],
             xbuf.at[slot],
@@ -539,7 +543,7 @@ def _ring_kernel(
 def win_ring_reduce(
     plan: RingPlan,
     idx_rows: jnp.ndarray,  # (2, S) from ring_index_rows
-    x: jnp.ndarray,  # (C, src_size) source rows, C <= 8
+    x: jnp.ndarray,  # (C, src_size) rows OR (nchunk, C, chunk) blocks
     scale: float = 1.0,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
@@ -547,9 +551,29 @@ def win_ring_reduce(
 
     C <= 16: all component rows ride ONE pass (r5; the r4 kernel was
     C <= 8, so the 16/18-component Jacobian scatter paid the per-cell
-    DMA, metadata, and gather-window costs twice)."""
+    DMA, metadata, and gather-window costs twice).
+
+    x may be pre-blocked (nchunk, C, plan.chunk): source column
+    chunk*plan.chunk + col lives at x[chunk, :, col]. The windowed
+    Jacobian path emits its G-blocked update table in exactly this
+    shape as a VIEW of the element-kernel output - no relayout pass."""
     if interpret is None:
         interpret = INTERPRET
+    if x.ndim == 3:
+        nchunk, C, cw_x = x.shape
+        assert cw_x == plan.chunk, (cw_x, plan.chunk)
+        assert C <= 16
+        R = 8 if C <= 8 else 16
+        HB = plan.sp // 128
+        vmax, cw = plan.vmax, plan.chunk
+        xr = x.astype(jnp.float32)
+        if C < R:
+            xr = jnp.pad(xr, ((0, 0), (0, R - C), (0, 0)))
+        idx_rows = jnp.pad(idx_rows, ((0, 0), (0, vmax * 128)))
+        return _ring_call(
+            plan, idx_rows, xr, C, R, HB, vmax, cw, scale, interpret,
+            blocked=True,
+        )
     C, n_src = x.shape
     assert C <= 16
     R = 8 if C <= 8 else 16
@@ -560,10 +584,19 @@ def win_ring_reduce(
     # pad so the last chunk's slab and its +512 window slack are in-bounds
     xr = jnp.pad(xr, ((0, 0), (0, nchunks_cov * cw - n_src + cw + 512)))
     idx_rows = jnp.pad(idx_rows, ((0, 0), (0, vmax * 128)))
+    return _ring_call(
+        plan, idx_rows, xr, C, R, HB, vmax, cw, scale, interpret,
+        blocked=False,
+    )
+
+
+def _ring_call(
+    plan, idx_rows, xr, C, R, HB, vmax, cw, scale, interpret, blocked
+):
 
     kern = functools.partial(
         _ring_kernel, vmax=vmax, C=C, R=R, HB=HB, SPK=plan.sp,
-        scale=float(scale), chunkw=cw,
+        scale=float(scale), chunkw=cw, blocked=blocked,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -575,7 +608,7 @@ def win_ring_reduce(
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, R, cw + 512), jnp.float32),
+            pltpu.VMEM((2, R, cw if blocked else cw + 512), jnp.float32),
             pltpu.VMEM((2, 2, vmax * 128), jnp.int32),
             pltpu.SMEM((2, max(vmax // 4, 1), 128), jnp.int32),
             pltpu.VMEM((plan.num_ring, R * HB, 128), jnp.float32),
@@ -612,6 +645,8 @@ def ring_reduce_xla(
     plan: RingPlan, x: jnp.ndarray, scale: float = 1.0
 ) -> jnp.ndarray:
     """Reference lowering (any backend): flat gather + segment-sum."""
+    if x.ndim == 3:  # (nchunk, C, chunk) pre-blocked source
+        x = x.transpose(1, 0, 2).reshape(x.shape[1], -1)
     src = plan.ecol.astype(np.int64) + np.repeat(
         plan.cell_chunk.astype(np.int64) * plan.chunk,
         np.diff(plan.cell_voff.astype(np.int64)) * 128,
