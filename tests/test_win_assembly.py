@@ -148,6 +148,41 @@ def test_jacobian_win_ring_kernel_interpret(setup):
     )
 
 
+def test_jacobian_win_ring_kernel_blocked_interpret(setup):
+    """The blocked (nchunk, C, chunk) pre-blocked-source kernel branch -
+    the layout the G-blocked Jacobian path feeds (win_assembly ring
+    branch) - == the XLA lowering, for both C<=8 and the 16-row pass."""
+    from dedflow_tpu.sparse import win_ring as wr
+    from dedflow_tpu.sparse import winell as we
+
+    mesh, sp, wctx, gctx, cfg, wa, dwa = setup
+    ne = mesh.num_tet
+    rng = np.random.default_rng(5)
+    win_plan = we.build_winell_plan(sp.row_ptr, sp.col_ind, mesh.num_node)
+    elem_nnz = np.asarray(sp.elem_nnz, dtype=np.int64).reshape(ne, 16)
+    jtgt = win_plan.entry_of_nnz[elem_nnz].reshape(-1)
+    # G-blocked source layout (win_assembly._JAC_GBLK pattern), small G
+    gblk = 1024
+    ne_pad = -(-ne // gblk) * gblk
+    ee = np.repeat(np.arange(ne, dtype=np.int64), 16)
+    ab = np.tile(np.arange(16, dtype=np.int64), ne)
+    jsrc = (ee // gblk) * 16 * gblk + ab * gblk + (ee % gblk)
+    chunk = 16 * gblk  # one element block per chunk slab
+    plan = wr.build_ring_plan(jtgt, jsrc, win_plan.S, 16 * ne_pad, chunk=chunk)
+    idx = wr.ring_index_rows(plan)
+    for C in (6, 16):
+        x3d = jnp.asarray(
+            rng.normal(size=(16 * ne_pad // chunk, C, chunk)).astype(
+                np.float32
+            )
+        )
+        got = wr.win_ring_reduce(plan, idx, x3d, interpret=True)
+        want = wr.ring_reduce_xla(plan, x3d)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-3, atol=5e-3
+        )
+
+
 def test_jacobian_win_scalar_implicit_matches_oracle(setup):
     """Implicit phi/T transport tangents through the windowed path ==
     the general gather oracle (melt-pool on an irregular mesh; VERDICT
