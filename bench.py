@@ -640,11 +640,37 @@ def main() -> None:
             gc.collect()
             return fn(*a)
 
+    if os.environ.get("DEDFLOW_BENCH_DEM_ONLY"):
+        # subprocess mode (see below): emit ONLY the DEM dict as JSON
+        dem = bench_dem(platform)
+        print(json.dumps(dem))
+        return
+
     asm = attempt(bench_assembly_spmv, platform)
+    # The DEM section runs in a SUBPROCESS with a hard timeout: a device
+    # hang (observed: a wedged TPU worker blocks the client in C with no
+    # Python signal delivery) or a worker crash must not take down the
+    # primary metric - in-process try/except cannot bound a hang.
+    dem = None
     try:
-        dem = attempt(bench_dem, platform)
+        import subprocess
+
+        env = dict(os.environ, DEDFLOW_BENCH_DEM_ONLY="1")
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True,
+            timeout=float(os.environ.get("DEDFLOW_BENCH_DEM_TIMEOUT", 1800)),
+        )
+        sys.stderr.write(r.stderr)
+        if r.returncode == 0 and r.stdout.strip():
+            dem = json.loads(r.stdout.strip().splitlines()[-1])
+        else:
+            log(f"dem subprocess rc={r.returncode}; reporting -1")
+    except subprocess.TimeoutExpired:
+        log("dem subprocess timed out (device hang?); reporting -1")
     except Exception as e:  # noqa: BLE001
-        log(f"dem bench failed twice ({type(e).__name__}); reporting -1")
+        log(f"dem subprocess failed ({type(e).__name__}); reporting -1")
+    if dem is None:
         dem = dict(dem_pairs_per_s=-1.0, t_substep_ms=-1.0)
     print(
         json.dumps(
