@@ -81,6 +81,7 @@ np.save("/tmp/nlf64_state_" + mode + "_" + out["platform"] + ".npy",
 print("RESULT " + json.dumps(out))
 """
     env = dict(os.environ)
+    env["JAX_TRACEBACK_FILTERING"] = "off"  # keep kernel frames on failure
     if platform == "cpu":
         env["JAX_PLATFORMS"] = "cpu"
     t0 = time.time()
@@ -107,14 +108,26 @@ def main() -> None:
 
     cpu64 = run_case("cpu", box_n, steps, "f64")
     tpu64 = run_case("tpu", box_n, steps, "f64")
-    tpu_ir = run_case("tpu", box_n, steps, "ir")
+    # the ir case is best-effort: it is the only case that lowers the
+    # Pallas assembly kernels under jax_enable_x64, which trips a Mosaic
+    # convert-lowering RecursionError on some jax versions - the core
+    # claim (TPU f64 nonlinear parity vs the CPU oracle) stands without it
+    ir_error = None
+    try:
+        tpu_ir = run_case("tpu", box_n, steps, "ir")
+    except Exception as e:  # noqa: BLE001
+        tpu_ir = None
+        ir_error = f"{type(e).__name__}: {str(e)[-600:]}"
 
     s_cpu = np.load("/tmp/nlf64_state_f64_cpu.npy")
     s_tpu = np.load(f"/tmp/nlf64_state_f64_{tpu64['platform']}.npy")
-    s_ir = np.load(f"/tmp/nlf64_state_ir_{tpu_ir['platform']}.npy")
     denom = max(float(np.abs(s_cpu).max()), 1e-30)
     rel_f64 = float(np.abs(s_tpu - s_cpu).max()) / denom
-    rel_ir = float(np.abs(s_ir - s_cpu).max()) / denom
+    if tpu_ir is not None:
+        s_ir = np.load(f"/tmp/nlf64_state_ir_{tpu_ir['platform']}.npy")
+        rel_ir = float(np.abs(s_ir - s_cpu).max()) / denom
+    else:
+        rel_ir = None
 
     doc = dict(
         metric="nonlinear_f64_parity",
@@ -125,9 +138,10 @@ def main() -> None:
         newton_field_norms_tpu_f64=tpu64["field_norms"],
         rel_state_diff_tpu_f64_vs_cpu_f64=rel_f64,
         rel_state_diff_tpu_ir_vs_cpu_f64=rel_ir,
+        ir_case_error=ir_error,
         wall_s=dict(
             cpu_f64=cpu64["wall_s"], tpu_f64=tpu64["wall_s"],
-            tpu_ir=tpu_ir["wall_s"],
+            tpu_ir=tpu_ir["wall_s"] if tpu_ir else None,
         ),
         tpu_platform=tpu64["platform"],
         note=(
